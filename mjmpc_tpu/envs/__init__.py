@@ -1,0 +1,64 @@
+"""Environment registry.
+
+Replaces the reference's gym registration table
+(/root/reference/mjmpc/envs/__init__.py:5-37) with a factory map over
+pure-function envs. MuJoCo-backed tasks (reacher_7dof, sawyer suite) run on
+the in-repo Featherstone articulated-body engine instead of mujoco_py.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from .base import Env
+from . import pendulum, lqr, point_mass, cartpole
+
+_REGISTRY: Dict[str, Callable[..., Env]] = {
+    "SimplePendulum-v0": pendulum.make,
+    "LQR-v0": lqr.make,
+    "point_mass-v0": point_mass.make,
+    "cartpole-v0": cartpole.make,
+}
+
+
+def register(name: str, factory: Callable[..., Env]) -> None:
+    _REGISTRY[name] = factory
+
+
+def make(name: str, **kwargs) -> Env:
+    if name not in _REGISTRY:
+        raise ValueError(f"unknown env {name!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](**kwargs)
+
+
+def available() -> list:
+    return sorted(_REGISTRY)
+
+
+def _register_deferred():
+    """Envs with heavier deps are registered lazily at import of this pkg."""
+    try:
+        from . import reacher_7dof
+        _REGISTRY.setdefault("reacher_7dof-v0", reacher_7dof.make)
+        _REGISTRY.setdefault("continual_reacher-v0", reacher_7dof.make_continual)
+    except ImportError:
+        pass
+    try:
+        from . import acrobot
+        _REGISTRY.setdefault("acrobot-v0", acrobot.make)
+    except ImportError:
+        pass
+    try:
+        from . import swimmer
+        _REGISTRY.setdefault("Swimmer-v0", swimmer.make)
+    except ImportError:
+        pass
+    try:
+        from . import half_cheetah
+        _REGISTRY.setdefault("HalfCheetah-v0", half_cheetah.make)
+    except ImportError:
+        pass
+
+
+_register_deferred()
+
+__all__ = ["Env", "make", "register", "available"]

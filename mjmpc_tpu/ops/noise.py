@@ -59,8 +59,12 @@ def gaussian_noise(key: jax.Array, cov: jax.Array, shape: tuple, dtype=jnp.float
     """
     d_action = cov.shape[0]
     white = jax.random.normal(key, tuple(shape) + (d_action,), dtype=dtype)
-    chol = jnp.linalg.cholesky(cov.astype(jnp.float64)
-                               if jax.config.jax_enable_x64 else cov)
+    # Jitter keeps the factorization defined when the covariance collapses
+    # toward singular (CEM/DMD adaptation can drive variances to ~0; the
+    # reference's np.random.multivariate_normal tolerates PSD-singular
+    # matrices via SVD, Cholesky does not).
+    jitter = 1e-6 * jnp.eye(d_action, dtype=cov.dtype)
+    chol = jnp.linalg.cholesky(cov + jitter)
     return white @ chol.T.astype(dtype)
 
 

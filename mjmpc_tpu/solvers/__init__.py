@@ -1,0 +1,41 @@
+"""Solver registry (reference mjmpc/control/__init__.py:1-18 +
+mpc_policy.py factory)."""
+from .base import GaussianMPC, GaussianState, build_solve_fn, evaluate_episode
+from .mppi import MPPI
+from .mppiq import MPPIQ
+from .random_shooting import RandomShooting
+from .cem import CEM
+from .dmd import DMDMPC
+from .pfmpc import PFMPC, PFState
+from .pfmpc import build_solve_fn as build_pf_solve_fn
+
+REGISTRY = {
+    "mppi": MPPI,
+    "mppiq": MPPIQ,
+    "random_shooting": RandomShooting,
+    "cem": CEM,
+    "dmd": DMDMPC,
+    "gaussian_dmd": DMDMPC,
+    "pfmpc": PFMPC,
+}
+
+
+def make_solver(name: str, **params):
+    if name not in REGISTRY:
+        raise ValueError(f"unknown controller {name!r}; known: {sorted(REGISTRY)}")
+    return REGISTRY[name](**params)
+
+
+def make_solve_fn(solver, env, **kwargs):
+    """Dispatch to the right solve builder for the solver family."""
+    if isinstance(solver, PFMPC):
+        kwargs.pop("calc_val", None)
+        return build_pf_solve_fn(solver, env, **kwargs)
+    return build_solve_fn(solver, env, **kwargs)
+
+
+__all__ = [
+    "GaussianMPC", "GaussianState", "build_solve_fn", "evaluate_episode",
+    "MPPI", "MPPIQ", "RandomShooting", "CEM", "DMDMPC", "PFMPC", "PFState",
+    "REGISTRY", "make_solver", "make_solve_fn",
+]

@@ -33,15 +33,24 @@ def cost_to_go(cost_seq: jax.Array, gamma_seq) -> jax.Array:
     sum_{s>=t} gamma^{s-t} c_s, via the reversed-cumsum trick of reference
     control_utils.py:37-46.
     """
-    # The zero-discount passthrough is a static (config-time) property:
-    # resolve it on the host value, before it becomes a traced constant.
+    # Zero-discount passthrough. Resolved statically when gamma_seq is a
+    # host value (the usual case: it is a config-time constant), and with a
+    # trace-safe select when it arrives as a traced array — the division
+    # below would otherwise poison every t >= 1 with NaN under jit.
     if isinstance(gamma_seq, (np.ndarray, list, tuple, float, int)):
         if np.any(np.asarray(gamma_seq) == 0.0):
             return cost_seq
-    gamma_seq = jnp.asarray(gamma_seq)
+        gamma_seq = jnp.asarray(gamma_seq)
+        has_zero = None
+    else:
+        gamma_seq = jnp.asarray(gamma_seq)
+        has_zero = jnp.any(gamma_seq == 0.0)
+        gamma_seq = jnp.where(gamma_seq == 0.0, 1.0, gamma_seq)
     scaled = gamma_seq * cost_seq
-    ctg = jnp.cumsum(scaled[..., ::-1], axis=-1)[..., ::-1]
-    return ctg / gamma_seq
+    ctg = jnp.cumsum(scaled[..., ::-1], axis=-1)[..., ::-1] / gamma_seq
+    if has_zero is not None:
+        ctg = jnp.where(has_zero, cost_seq, ctg)
+    return ctg
 
 
 def scale_ctrl(ctrl: jax.Array, action_lows: jax.Array, action_highs: jax.Array,

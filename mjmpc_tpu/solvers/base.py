@@ -146,7 +146,7 @@ class GaussianMPC:
 
 
 def build_solve_fn(solver: GaussianMPC, env: Env, calc_val: bool = False,
-                   hotstart: bool = True):
+                   hotstart: bool = True, shard_particles=None):
     """One full MPC solve as a pure function — the reference
     Controller.optimize (controller.py:207-257) compiled end-to-end.
 
@@ -154,17 +154,24 @@ def build_solve_fn(solver: GaussianMPC, env: Env, calc_val: bool = False,
         (action [dA], value scalar, new solver_state).
     Jit-compatible; wrap with jax.jit (or pjit with a sharded particle
     axis) at the call site.
+
+    shard_particles: optional fn(x) -> x applying a sharding constraint to
+    arrays whose leading axis is the particle axis (see parallel.sharded).
+    GSPMD then propagates the layout through the rollout scan and lowers
+    the solver's particle reductions to ICI collectives.
     """
+    shard = shard_particles or (lambda x: x)
+
     def solve(env_params, env_state, solver_state: GaussianState):
         s = solver_state
         for _ in range(solver.n_iters):  # static unroll (n_iters is 1-4)
-            noise = solver.sample_noise(s)
+            noise = shard(solver.sample_noise(s))
             traj = rollout_open_loop(env, env_params, env_state, s.mean, noise)
             s = solver.update(s, traj)
 
         action = solver.act(s)
         if calc_val:
-            noise = solver.sample_noise(s)
+            noise = shard(solver.sample_noise(s))
             traj = rollout_open_loop(env, env_params, env_state, s.mean, noise)
             value = solver.value(s, traj)
         else:
@@ -179,14 +186,15 @@ def build_solve_fn(solver: GaussianMPC, env: Env, calc_val: bool = False,
 
 
 def evaluate_episode(solver: GaussianMPC, env: Env, episode_length: int,
-                     calc_val: bool = False):
+                     calc_val: bool = False, shard_particles=None):
     """Full closed-loop episode — MPC in the loop — as ONE jitted scan.
 
     The reference's example_mpc.py episode loop (real env.step + one
     optimize per step) with zero host synchronization. Returns
     episode(env_params, key) -> dict(rewards [T], actions [T, dA], ...).
     """
-    solve = build_solve_fn(solver, env, calc_val=calc_val)
+    solve = build_solve_fn(solver, env, calc_val=calc_val,
+                           shard_particles=shard_particles)
 
     def episode(env_params, key):
         env_key, solver_key = jax.random.split(key)

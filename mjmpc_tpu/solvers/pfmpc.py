@@ -128,12 +128,15 @@ class PFMPC:
         raise NotImplementedError("_calc_val not implemented in reference (pf:176)")
 
 
-def build_solve_fn(solver: PFMPC, env: Env, hotstart: bool = True):
+def build_solve_fn(solver: PFMPC, env: Env, hotstart: bool = True,
+                   shard_particles=None):
     """One PFMPC solve (optimize + act + shift), jit-compatible."""
+    shard = shard_particles or (lambda x: x)
+
     def solve(env_params, env_state, state: PFState):
-        s = state
+        s = state._replace(action_samples=shard(state.action_samples))
         for _ in range(solver.n_iters):
-            delta = s.action_samples - s.mean[None, :, :]
+            delta = shard(s.action_samples - s.mean[None, :, :])
             traj = rollout_open_loop(env, env_params, env_state, s.mean, delta)
             s = solver.update(s, traj)
         action = solver.act(s)

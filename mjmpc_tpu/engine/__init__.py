@@ -1,0 +1,22 @@
+"""Articulated rigid-body dynamics engine (the reference's mujoco_py role,
+re-built as pure JAX; SURVEY.md §2.9)."""
+from . import chain
+from .chain import (
+    ChainModel,
+    bias_forces,
+    build_chain,
+    capsule_geom,
+    combine_geoms,
+    forward_kinematics,
+    kinetic_energy,
+    mass_matrix,
+    site_position,
+    sphere_geom,
+    step,
+)
+
+__all__ = [
+    "chain", "ChainModel", "forward_kinematics", "site_position",
+    "mass_matrix", "kinetic_energy", "bias_forces", "step",
+    "sphere_geom", "capsule_geom", "combine_geoms", "build_chain",
+]

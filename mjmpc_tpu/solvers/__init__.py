@@ -8,6 +8,10 @@ from .cem import CEM
 from .dmd import DMDMPC
 from .pfmpc import PFMPC, PFState
 from .pfmpc import build_solve_fn as build_pf_solve_fn
+from .reinforce import Reinforce, ReinforceState
+from .reinforce import build_solve_fn as build_reinforce_solve_fn
+from .softq import SoftQMPC, SoftQState
+from .softq import build_solve_fn as build_softq_solve_fn
 
 REGISTRY = {
     "mppi": MPPI,
@@ -17,6 +21,8 @@ REGISTRY = {
     "dmd": DMDMPC,
     "gaussian_dmd": DMDMPC,
     "pfmpc": PFMPC,
+    "reinforce": Reinforce,
+    "softqmpc": SoftQMPC,
 }
 
 
@@ -31,11 +37,20 @@ def make_solve_fn(solver, env, **kwargs):
     if isinstance(solver, PFMPC):
         kwargs.pop("calc_val", None)
         return build_pf_solve_fn(solver, env, **kwargs)
+    if isinstance(solver, Reinforce):
+        kwargs.pop("calc_val", None)
+        kwargs.pop("hotstart", None)  # reference _shift is a no-op
+        return build_reinforce_solve_fn(solver, env, **kwargs)
+    if isinstance(solver, SoftQMPC):
+        kwargs.pop("calc_val", None)
+        kwargs.pop("hotstart", None)  # reference _shift is a no-op
+        return build_softq_solve_fn(solver, env, **kwargs)
     return build_solve_fn(solver, env, **kwargs)
 
 
 __all__ = [
     "GaussianMPC", "GaussianState", "build_solve_fn", "evaluate_episode",
     "MPPI", "MPPIQ", "RandomShooting", "CEM", "DMDMPC", "PFMPC", "PFState",
+    "Reinforce", "ReinforceState", "SoftQMPC", "SoftQState",
     "REGISTRY", "make_solver", "make_solve_fn",
 ]

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Callable, Dict
 
 from .base import Env
+from .randomize import randomize_dynamics, randomize_batch, register_names
 from . import pendulum, lqr, point_mass, cartpole
 
 _REGISTRY: Dict[str, Callable[..., Env]] = {
@@ -61,4 +62,5 @@ def _register_deferred():
 
 _register_deferred()
 
-__all__ = ["Env", "make", "register", "available"]
+__all__ = ["Env", "make", "register", "available",
+           "randomize_dynamics", "randomize_batch", "register_names"]

@@ -176,3 +176,20 @@ def make() -> Env:
 def make_continual() -> Env:
     """continual_reacher-v0: target moves every 50 steps."""
     return _make(50, "continual_reacher-v0")
+
+
+BODY_NAMES = [
+    "r_shoulder_pan_link", "r_shoulder_lift_link", "r_upper_arm_roll_link",
+    "r_elbow_flex_link", "r_forearm_roll_link", "r_wrist_flex_link",
+    "r_wrist_roll_link",
+]
+JOINT_NAMES = [
+    "r_shoulder_pan_joint", "r_shoulder_lift_joint", "r_upper_arm_roll_joint",
+    "r_elbow_flex_joint", "r_forearm_roll_joint", "r_wrist_flex_joint",
+    "r_wrist_roll_joint",
+]
+
+from .randomize import register_names as _register_names  # noqa: E402
+
+for _env_name in ("reacher_7dof-v0", "continual_reacher-v0"):
+    _register_names(_env_name, BODY_NAMES, JOINT_NAMES)

@@ -1,0 +1,96 @@
+"""Episode runners: MPC-in-the-loop evaluation, batched over episodes.
+
+The reference's main loop (example_mpc.py:143-186) alternates
+policy.get_action (controller optimize on the sim pool) and real
+env.step, one episode at a time. Here the whole batch of episodes is one
+jitted program: scan over the control horizon, vmap over episodes, with
+separate REAL and SIM dynamics parameters so model-mismatch experiments
+(dyn-randomized sim pool, nominal real env — example_mpc.py:87-91) run
+on device.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import solvers
+from ..envs.base import Env
+
+
+def build_episode_fn(solver, env: Env, episode_length: int,
+                     shard_particles=None):
+    """episode(real_params, sim_params, key) -> dict of [T, ...] arrays.
+
+    The solver plans against sim_params; the environment advances under
+    real_params (identical pytree structure, possibly different values —
+    the reference's sim_env vs env split).
+    """
+    solve = solvers.make_solve_fn(solver, env,
+                                  shard_particles=shard_particles)
+
+    def episode(real_params, sim_params, key):
+        env_key, solver_key = jax.random.split(key)
+        env_state = env.init(real_params, env_key)
+        solver_state = solver.init_state(solver_key)
+
+        def step_fn(carry, _):
+            env_state, solver_state = carry
+            action, value, solver_state = solve(
+                sim_params, env_state, solver_state)
+            action = env.clip_action(action)
+            env_state, obs, reward, done = env.step(
+                real_params, env_state, action)
+            succ = (env.success(real_params, env_state)
+                    if env.success is not None else jnp.array(False))
+            return (env_state, solver_state), dict(
+                reward=reward, action=action, value=value, done=done,
+                success=succ)
+
+        (_, final_solver_state), out = jax.lax.scan(
+            step_fn, (env_state, solver_state), None, length=episode_length)
+        return out, final_solver_state
+
+    return episode
+
+
+def run_episodes(solver, env: Env, n_episodes: int, episode_length: int,
+                 base_seed: int = 123, sim_params=None,
+                 return_states: bool = False) -> Dict[str, Any]:
+    """Batch of episodes with the reference's per-episode seeding
+    (episode_seed = base_seed + i*12345, example_mpc.py:146).
+
+    Returns rewards [B, T], actions [B, T, dA], success flags, plus the
+    aggregate metrics the reference logs (AverageReward, StdReward,
+    SuccessMetric = % episodes with > 10 goal-achieved steps,
+    reacher_env.py:117-125).
+    """
+    episode = build_episode_fn(solver, env, episode_length)
+    sim_params = env.params if sim_params is None else sim_params
+
+    keys = jnp.stack([jax.random.PRNGKey(base_seed + i * 12345)
+                      for i in range(n_episodes)])
+    batched = jax.jit(jax.vmap(
+        lambda k: episode(env.params, sim_params, k)[0]))
+    out = batched(keys)
+
+    rewards = np.asarray(out["reward"])          # [B, T]
+    successes = np.asarray(out["success"])       # [B, T]
+    ep_rewards = rewards.sum(axis=1)
+    success_counts = successes.sum(axis=1)
+    success_metric = 100.0 * float((success_counts > 10).mean())
+
+    result = dict(
+        rewards=rewards,
+        actions=np.asarray(out["action"]),
+        values=np.asarray(out["value"]),
+        dones=np.asarray(out["done"]),
+        successes=successes,
+        ep_rewards=ep_rewards,
+        average_reward=float(ep_rewards.mean()),
+        reward_std=float(ep_rewards.std()),
+        success_metric=success_metric,
+    )
+    return result

@@ -1,0 +1,147 @@
+"""Benchmark runner: solves/s and op microbenchmarks.
+
+The reference has no benchmark suite (SURVEY.md §6 — batch_timing_test.py
+is empty); this implements the BASELINE.md benchmark configs: MPPI on
+reacher_7dof, random_shooting/CEM on the classic tasks, PFMPC, plus op
+microbenches (noise sampler, cost-to-go) on XLA and Pallas paths.
+
+Usage: python -m mjmpc_tpu.harness.benchmark [--quick] [--json PATH]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import envs, ops, solvers
+
+
+def _time(fn, *args, iters: int = 50, warmup: int = 2) -> float:
+    """Median-free steady-state seconds/call (chained, one final block)."""
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / iters
+
+
+def bench_solver(env_name: str, controller: str, horizon: int,
+                 num_particles: int, iters: int = 50,
+                 **solver_kwargs) -> Dict[str, Any]:
+    env = envs.make(env_name)
+    defaults = dict(d_action=env.d_action, horizon=horizon,
+                    num_particles=num_particles, gamma=1.0,
+                    filter_coeffs=(0.25, 0.8, 0.0))
+    if controller == "mppi":
+        defaults.update(lam=0.01, init_cov=3.0, step_size=0.55,
+                        base_action="repeat")
+    elif controller == "cem":
+        defaults.update(elite_frac=0.2, beta=0.3, step_size=0.9)
+    elif controller == "pfmpc":
+        defaults = dict(d_action=env.d_action, horizon=horizon,
+                        num_particles=num_particles, lam=0.1,
+                        cov_shift=0.1, cov_resample=1.0)
+    solver = solvers.make_solver(controller, **{**defaults, **solver_kwargs})
+
+    solve = jax.jit(solvers.make_solve_fn(solver, env))
+    sstate = solver.init_state(jax.random.PRNGKey(0))
+    estate = env.init(env.params, jax.random.PRNGKey(1))
+
+    # chained-state timing: the production control loop
+    for _ in range(2):
+        a, _, sstate = solve(env.params, estate, sstate)
+    jax.block_until_ready(a)
+    start = time.perf_counter()
+    s = sstate
+    for _ in range(iters):
+        a, _, s = solve(env.params, estate, s)
+    jax.block_until_ready(a)
+    dt = (time.perf_counter() - start) / iters
+
+    return dict(metric=f"{controller}_solves_per_s"
+                       f"[{env_name},H={horizon},N={num_particles}]",
+                value=round(1.0 / dt, 2), unit="solves/s")
+
+
+def bench_ops(num_particles: int = 4096, horizon: int = 32,
+              d_action: int = 7) -> List[Dict[str, Any]]:
+    rows = []
+    key = jax.random.PRNGKey(0)
+    cov = jnp.eye(d_action)
+    coeffs = (0.25, 0.8, 0.0)
+
+    nz = jax.jit(lambda k: ops.filtered_noise(
+        k, cov, (num_particles, horizon), coeffs))
+    dt = _time(nz, key)
+    rows.append(dict(metric="filtered_noise_xla_us", value=round(dt * 1e6, 1),
+                     unit="us"))
+
+    try:
+        from ..ops import pallas_kernels as pk
+        nzp = jax.jit(lambda s: pk.filtered_noise_pallas(
+            s, (num_particles, horizon), d_action, coeffs))
+        dt = _time(nzp, 42)
+        rows.append(dict(metric="filtered_noise_pallas_us",
+                         value=round(dt * 1e6, 1), unit="us"))
+    except Exception as e:  # pragma: no cover - informational
+        rows.append(dict(metric="filtered_noise_pallas_us", value=-1,
+                         unit="us", error=str(e)))
+
+    costs = jax.random.uniform(key, (num_particles, horizon))
+    gseq = ops.gamma_sequence(0.99, horizon)
+    ctg = jax.jit(lambda c: ops.cost_to_go(c, gseq))
+    dt = _time(ctg, costs)
+    rows.append(dict(metric="cost_to_go_us", value=round(dt * 1e6, 1),
+                     unit="us"))
+    return rows
+
+
+DEFAULT_SUITE = [
+    ("reacher_7dof-v0", "mppi", 32, 4096),
+    ("reacher_7dof-v0", "mppi", 32, 16384),
+    ("SimplePendulum-v0", "mppi", 32, 4096),
+    ("SimplePendulum-v0", "random_shooting", 32, 4096),
+    ("SimplePendulum-v0", "cem", 32, 4096),
+    ("reacher_7dof-v0", "cem", 16, 4096),
+    ("SimplePendulum-v0", "pfmpc", 32, 4096),
+]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="fewer iterations / smaller suite")
+    parser.add_argument("--json", type=str, default=None,
+                        help="also write results to this file")
+    args = parser.parse_args(argv)
+
+    suite = DEFAULT_SUITE[:3] if args.quick else DEFAULT_SUITE
+    iters = 10 if args.quick else 50
+
+    rows = []
+    for env_name, controller, horizon, n in suite:
+        if env_name not in envs.available():
+            continue
+        row = bench_solver(env_name, controller, horizon, n, iters=iters)
+        rows.append(row)
+        print(json.dumps(row))
+    for row in bench_ops():
+        rows.append(row)
+        print(json.dumps(row))
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=2)
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -22,35 +22,38 @@ def gamma_sequence(gamma: float, horizon: int) -> np.ndarray:
     return np.cumprod([1.0] + [float(gamma)] * (horizon - 1)).reshape(1, horizon)
 
 
+def discount_matrix(gamma_seq) -> jax.Array:
+    """Upper-triangular [H, H] matrix M with M[s, t] = gamma^(s-t) for
+    s >= t, built by gathering from gamma_seq (gamma_seq[k] = gamma^k).
+
+    Exact for every gamma including 0 (M degenerates to the identity — the
+    reference's zero-discount passthrough, control_utils.py:41-42, with no
+    special case), and for generalized weight sequences like MPPIQ's
+    (gamma*lam)^t.
+    """
+    gamma_seq = jnp.asarray(gamma_seq).reshape(-1)
+    h = gamma_seq.shape[0]
+    s = jnp.arange(h)[:, None]
+    t = jnp.arange(h)[None, :]
+    return jnp.where(s >= t, gamma_seq[jnp.abs(s - t)], 0.0)
+
+
 def cost_to_go(cost_seq: jax.Array, gamma_seq) -> jax.Array:
     """Discounted cost-to-go matrix for a batch of cost sequences.
 
-    cost_seq: [..., H] per-step costs.
-    gamma_seq: [1, H] (or [H]) discount sequence; if any entry is zero the
-        input is returned unchanged (reference control_utils.py:41-42).
+    cost_seq: [..., H] per-step costs; gamma_seq: [1, H] or [H] discount
+    sequence (cumprod powers). Returns [..., H] with out[..., t] =
+    sum_{s>=t} gamma^{s-t} c_s.
 
-    Returns the full [..., H] cost-to-go matrix: out[..., t] =
-    sum_{s>=t} gamma^{s-t} c_s, via the reversed-cumsum trick of reference
-    control_utils.py:37-46.
+    The reference computes this with a reversed cumsum of gamma_seq*costs
+    divided by gamma_seq (control_utils.py:37-46) — numerically fragile
+    (gamma^t underflow in the division) and zero-gamma needs a branch.
+    Here it is one [.., H] @ [H, H] contraction against the discount
+    matrix: an MXU matmul, exact at gamma=0, and fused by XLA into the
+    surrounding solve.
     """
-    # Zero-discount passthrough. Resolved statically when gamma_seq is a
-    # host value (the usual case: it is a config-time constant), and with a
-    # trace-safe select when it arrives as a traced array — the division
-    # below would otherwise poison every t >= 1 with NaN under jit.
-    if isinstance(gamma_seq, (np.ndarray, list, tuple, float, int)):
-        if np.any(np.asarray(gamma_seq) == 0.0):
-            return cost_seq
-        gamma_seq = jnp.asarray(gamma_seq)
-        has_zero = None
-    else:
-        gamma_seq = jnp.asarray(gamma_seq)
-        has_zero = jnp.any(gamma_seq == 0.0)
-        gamma_seq = jnp.where(gamma_seq == 0.0, 1.0, gamma_seq)
-    scaled = gamma_seq * cost_seq
-    ctg = jnp.cumsum(scaled[..., ::-1], axis=-1)[..., ::-1] / gamma_seq
-    if has_zero is not None:
-        ctg = jnp.where(has_zero, cost_seq, ctg)
-    return ctg
+    m = discount_matrix(gamma_seq).astype(cost_seq.dtype)
+    return cost_seq @ m
 
 
 def scale_ctrl(ctrl: jax.Array, action_lows: jax.Array, action_highs: jax.Array,

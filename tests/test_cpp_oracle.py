@@ -1,0 +1,89 @@
+"""C++ CPU oracle vs the JAX compute path: independent double-precision
+serial implementations of the rollout/noise/cost math must agree with the
+vectorized TPU-path code to float32 tolerance."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mjmpc_tpu import envs, ops, solvers
+from mjmpc_tpu.oracle import cpp_oracle
+from mjmpc_tpu.rollout.engine import rollout_open_loop
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _build():
+    cpp_oracle._load()
+
+
+def test_ar_filter_parity(rng):
+    eps = rng.randn(16, 12, 3).astype(np.float32)
+    coeffs = (0.25, 0.8, 0.1)
+    ours = np.asarray(ops.ar_filter(jnp.asarray(eps), coeffs))
+    oracle = cpp_oracle.ar_filter(eps, coeffs)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-6)
+
+
+def test_cost_to_go_parity(rng):
+    costs = rng.rand(32, 20).astype(np.float32)
+    for gamma in (0.0, 0.9, 1.0):
+        gseq = ops.gamma_sequence(gamma, 20)
+        ours = np.asarray(ops.cost_to_go(jnp.asarray(costs), gseq))
+        oracle = cpp_oracle.cost_to_go(costs, gseq)
+        np.testing.assert_allclose(ours, oracle, rtol=2e-4, atol=1e-4)
+
+
+def test_pendulum_rollout_parity(rng):
+    env = envs.make("SimplePendulum-v0")
+    state = env.init(env.params, jax.random.PRNGKey(0))
+    mean = 0.4 * rng.randn(16, 1).astype(np.float32)
+    noise = rng.randn(32, 16, 1).astype(np.float32)
+    traj = rollout_open_loop(env, env.params, state,
+                             jnp.asarray(mean), jnp.asarray(noise))
+    oracle = cpp_oracle.pendulum_rollout(
+        env.params, float(state.th), float(state.thdot), mean, noise)
+    np.testing.assert_allclose(np.asarray(traj.costs), oracle,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_lqr_rollout_parity(rng):
+    env = envs.make("LQR-v0")
+    p = env.params
+    state = env.init(p, jax.random.PRNGKey(0))
+    dx, du = np.asarray(p.A).shape[0], np.asarray(p.B).shape[1]
+    mean = 0.2 * rng.randn(10, du).astype(np.float32)
+    noise = 0.1 * rng.randn(8, 10, du).astype(np.float32)
+    traj = rollout_open_loop(env, p, state, jnp.asarray(mean),
+                             jnp.asarray(noise))
+    oracle = cpp_oracle.lqr_rollout(
+        np.asarray(p.A), np.asarray(p.B),
+        np.diag(np.asarray(p.Q)), np.diag(np.asarray(p.R)),
+        np.asarray(state.x), mean, noise)
+    np.testing.assert_allclose(np.asarray(traj.costs), oracle,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mppi_update_end_to_end_parity(rng):
+    """Full MPPI mean update on identical injected rollouts: the TPU-path
+    solver vs the serial C++ implementation (BASELINE 'control-sequence
+    deviation within tolerance' check, CPU leg)."""
+    env = envs.make("SimplePendulum-v0")
+    h, n = 12, 64
+    solver = solvers.MPPI(d_action=1, horizon=h, num_particles=n,
+                          lam=0.05, step_size=0.7, gamma=0.99,
+                          alpha=1, init_cov=1.0)
+    key = jax.random.PRNGKey(0)
+    s0 = solver.init_state(key)
+    mean0 = 0.1 * rng.randn(h, 1).astype(np.float32)
+    s0 = s0._replace(mean=jnp.asarray(mean0))
+
+    state = env.init(env.params, jax.random.PRNGKey(1))
+    noise = solver.sample_noise(s0)
+    traj = rollout_open_loop(env, env.params, state, s0.mean, noise)
+    s1 = solver.update(s0, traj)
+
+    oracle_mean = cpp_oracle.mppi_update(
+        mean0, np.asarray(traj.actions), np.asarray(traj.costs),
+        gamma=0.99, lam=0.05, step_size=0.7)
+    np.testing.assert_allclose(np.asarray(s1.mean), oracle_mean,
+                               rtol=1e-3, atol=1e-4)

@@ -10,6 +10,8 @@ from .chain import (
     forward_kinematics,
     kinetic_energy,
     mass_matrix,
+    point_force_to_generalized,
+    potential_energy,
     site_position,
     sphere_geom,
     step,
@@ -17,6 +19,7 @@ from .chain import (
 
 __all__ = [
     "chain", "ChainModel", "forward_kinematics", "site_position",
-    "mass_matrix", "kinetic_energy", "bias_forces", "step",
+    "mass_matrix", "kinetic_energy", "bias_forces", "potential_energy",
+    "point_force_to_generalized", "step",
     "sphere_geom", "capsule_geom", "combine_geoms", "build_chain",
 ]

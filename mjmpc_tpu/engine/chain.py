@@ -27,20 +27,33 @@ operate away from the limits and BASELINE parity is defined on
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-class ChainModel(NamedTuple):
-    """Static description of a serial revolute chain (n joints == n bodies).
+@functools.partial(jax.tree_util.register_dataclass)
+@dataclasses.dataclass(frozen=True)
+class ChainModel:
+    """Static description of a kinematic tree (n joints == n bodies).
 
-    Body i's frame is offset `body_pos[i]` from body i-1's frame (body 0
-    from the world origin); each joint rotates body i's frame about
-    `joint_axis[i]` (unit, in the body frame). Fused (joint-less) bodies
-    are pre-merged into their parent at model-build time.
+    Body i's frame is offset `body_pos[i]` from its parent's frame
+    (`parent[i]`, -1 = world); each joint moves body i's frame along/about
+    `joint_axis[i]` (unit, in the body frame): 'hinge' (rotation) or
+    'slide' (translation). Free planar bases (swimmer, half-cheetah) are
+    modeled MuJoCo-style as slide+slide+hinge virtual joints on massless
+    proximal bodies; branches (cheetah legs) via the parent table. Fused
+    (joint-less) bodies are pre-merged into their jointed parent at
+    model-build time.
+
+    Topology (`parent`, `joint_types`, `dt`, `site_body`) is static
+    metadata — python values at trace time, so kinematics unrolls with
+    real branching and no masked blends; the physical parameters are
+    traced array leaves (vmappable, randomizable, donatable).
     """
     joint_axis: jax.Array   # [n, 3] unit axes, child-body frame
     body_pos: jax.Array     # [n, 3] frame offset from parent frame
@@ -49,16 +62,41 @@ class ChainModel(NamedTuple):
     inertia: jax.Array      # [n, 3, 3] about COM, body frame
     armature: jax.Array     # [n] rotor inertia added to M diagonal
     damping: jax.Array      # [n] viscous joint damping
+    stiffness: jax.Array    # [n] joint spring stiffness (rest at q = 0)
     gear: jax.Array         # [n] actuator torque scaling
     qpos_low: jax.Array     # [n]
     qpos_high: jax.Array    # [n]
-    dt: float               # integrator step
-    site_body: int          # body index carrying the end-effector site
-    site_pos: jax.Array     # [3] site offset in that body's frame
+    gravity: jax.Array      # [3] world gravity vector
+    site_pos: jax.Array     # [3] site offset in site_body's frame
+    parent: Tuple[int, ...] = dataclasses.field(
+        metadata=dict(static=True))
+    joint_types: Tuple[str, ...] = dataclasses.field(
+        metadata=dict(static=True))
+    dt: float = dataclasses.field(metadata=dict(static=True))
+    site_body: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def n_joints(self) -> int:
-        return self.joint_axis.shape[0]
+        return len(self.parent)
+
+    def ancestor_mask(self) -> np.ndarray:
+        """mask[i, k] = 1 if joint k moves body i (k on i's root path)."""
+        return _ancestor_mask(self.parent)
+
+    def _replace(self, **kw) -> "ChainModel":
+        return dataclasses.replace(self, **kw)
+
+
+@functools.lru_cache(maxsize=None)
+def _ancestor_mask(parent: Tuple[int, ...]) -> np.ndarray:
+    n = len(parent)
+    mask = np.zeros((n, n), np.float32)
+    for i in range(n):
+        k = i
+        while k >= 0:
+            mask[i, k] = 1.0
+            k = parent[k]
+    return mask
 
 
 def _rodrigues(axis: jax.Array, angle: jax.Array) -> jax.Array:
@@ -74,16 +112,25 @@ def forward_kinematics(model: ChainModel, q: jax.Array):
 
     Returns (rot [n,3,3] body->world, pos [n,3] frame origins).
     """
-    # Static unroll: n is small (7 for the sawyer arm) and fixed, so an
-    # unrolled chain of 3x3 matmuls fuses into one XLA computation — a
+    # Static unroll over the (small, fixed) tree: topology is python-level
+    # metadata, so branching and hinge/slide selection happen at trace
+    # time and the whole kinematics fuses into one XLA computation — a
     # lax.scan here would serialize tiny kernels and dominate latency.
     n = model.n_joints
-    r = jnp.eye(3, dtype=q.dtype)
-    p = jnp.zeros(3, q.dtype)
+    eye = jnp.eye(3, dtype=q.dtype)
+    zero = jnp.zeros(3, q.dtype)
     rots, poss = [], []
     for i in range(n):
-        p = p + r @ model.body_pos[i]
-        r = r @ _rodrigues(model.joint_axis[i], q[i])
+        pi = model.parent[i]
+        r_p = eye if pi < 0 else rots[pi]
+        p_p = zero if pi < 0 else poss[pi]
+        axis = model.joint_axis[i]
+        if model.joint_types[i] == "slide":
+            p = p_p + r_p @ (model.body_pos[i] + axis * q[i])
+            r = r_p
+        else:
+            p = p_p + r_p @ model.body_pos[i]
+            r = r_p @ _rodrigues(axis, q[i])
         rots.append(r)
         poss.append(p)
     return jnp.stack(rots), jnp.stack(poss)
@@ -108,12 +155,19 @@ def mass_matrix(model: ChainModel, q: jax.Array) -> jax.Array:
     axes_w = jnp.einsum("nij,nj->ni", rots, model.joint_axis)   # [n,3]
     coms_w = poss + jnp.einsum("nij,nj->ni", rots, model.com)   # [n,3]
 
-    # mask[i, k] = 1 if joint k moves body i (k <= i)
-    mask = jnp.tril(jnp.ones((n, n), q.dtype))
-    # Jv[i, k, :] = a_k x (c_i - p_k); Jw[i, k, :] = a_k
+    # mask[i, k] = 1 iff joint k is on body i's path to the root — a
+    # static constant of the topology (tree-aware lower-triangularity).
+    mask = jnp.asarray(model.ancestor_mask(), q.dtype)
+    slide = np.array([1.0 if t == "slide" else 0.0
+                      for t in model.joint_types],
+                     np.float32)[None, :, None]                 # [1,n,1]
+    # hinge: Jv[i,k] = a_k x (c_i - p_k), Jw[i,k] = a_k
+    # slide: Jv[i,k] = a_k,               Jw[i,k] = 0
     arm = coms_w[:, None, :] - poss[None, :, :]                 # [n,n,3]
-    jv = jnp.cross(axes_w[None, :, :], arm) * mask[..., None]
-    jw = jnp.broadcast_to(axes_w[None, :, :], (n, n, 3)) * mask[..., None]
+    axes_b = jnp.broadcast_to(axes_w[None, :, :], (n, n, 3))
+    jv = ((1.0 - slide) * jnp.cross(axes_b, arm) + slide * axes_b) \
+        * mask[..., None]
+    jw = (1.0 - slide) * axes_b * mask[..., None]
 
     iw = jnp.einsum("nab,nbc,ndc->nad", rots, model.inertia, rots)  # [n,3,3]
     m_lin = jnp.einsum("n,nka,nla->kl", model.mass, jv, jv)
@@ -125,24 +179,50 @@ def kinetic_energy(model: ChainModel, q: jax.Array, qd: jax.Array) -> jax.Array:
     return 0.5 * qd @ mass_matrix(model, q) @ qd
 
 
-def bias_forces(model: ChainModel, q: jax.Array, qd: jax.Array) -> jax.Array:
-    """Coriolis/centrifugal torques C(q, q̇) q̇ (gravity is zero in the
-    reference arm model: sawyer.xml <option gravity="0 0 0">).
+def potential_energy(model: ChainModel, q: jax.Array) -> jax.Array:
+    """V(q) = -Σ m_i g·c_i(q) (zero when model.gravity is zero, as in the
+    reference arm model: sawyer.xml <option gravity="0 0 0">)."""
+    rots, poss = forward_kinematics(model, q)
+    coms_w = poss + jnp.einsum("nij,nj->ni", rots, model.com)
+    return -jnp.sum(model.mass * (coms_w @ model.gravity))
 
-    Lagrangian identity: bias = Ṁ q̇ − ∂KE/∂q, with Ṁ q̇ obtained as a
-    jvp of q ↦ M(q) q̇ along q̇ — exact, and always consistent with M.
+
+def bias_forces(model: ChainModel, q: jax.Array, qd: jax.Array) -> jax.Array:
+    """Coriolis/centrifugal + gravity generalized forces.
+
+    Lagrangian identity: bias = Ṁ q̇ − ∂KE/∂q + ∂V/∂q, with Ṁ q̇ obtained
+    as a jvp of q ↦ M(q) q̇ along q̇ — exact, and always consistent with
+    the mass matrix (no separately hand-derived RNEA to drift).
     """
     mdot_qd = jax.jvp(lambda qq: mass_matrix(model, qq) @ qd, (q,), (qd,))[1]
-    dke_dq = jax.grad(lambda qq: kinetic_energy(model, qq, qd))(q)
-    return mdot_qd - dke_dq
+    dl_dq = jax.grad(lambda qq: kinetic_energy(model, qq, qd)
+                     - potential_energy(model, qq))(q)
+    return mdot_qd - dl_dq
+
+
+def point_force_to_generalized(model: ChainModel, q: jax.Array,
+                               body: int, point_local: jax.Array,
+                               force_world: jax.Array) -> jax.Array:
+    """Generalized force J_pᵀ f for a world-frame force applied at a
+    body-local point — via vjp of the point's world position (the AD
+    equivalent of building the point Jacobian). Used by contact and
+    drag models."""
+    def world_point(qq):
+        rots, poss = forward_kinematics(model, qq)
+        return poss[body] + rots[body] @ point_local
+
+    _, vjp = jax.vjp(world_point, q)
+    return vjp(force_world)[0]
 
 
 def step(model: ChainModel, q: jax.Array, qd: jax.Array, ctrl: jax.Array,
-         n_substeps: int = 1) -> Tuple[jax.Array, jax.Array]:
+         n_substeps: int = 1, ext_force_fn=None) -> Tuple[jax.Array, jax.Array]:
     """Advance (q, q̇) by n_substeps of dt under motor controls.
 
     Mirrors MuJoCo Euler + frame_skip: τ = gear·ctrl; implicit damping
-    folded into the LHS; armature on the M diagonal.
+    folded into the LHS; armature on the M diagonal. ext_force_fn(model,
+    q, qd) -> generalized force adds environment forces (fluid drag,
+    ground contact) per substep.
     """
     tau = model.gear * ctrl
 
@@ -150,7 +230,10 @@ def step(model: ChainModel, q: jax.Array, qd: jax.Array, ctrl: jax.Array,
         q, qd = carry
         m = mass_matrix(model, q)
         m = m + jnp.diag(model.armature + model.dt * model.damping)
-        rhs = tau - bias_forces(model, q, qd) - model.damping * qd
+        rhs = (tau - bias_forces(model, q, qd) - model.damping * qd
+               - model.stiffness * q)
+        if ext_force_fn is not None:
+            rhs = rhs + ext_force_fn(model, q, qd)
         qacc = jax.scipy.linalg.cho_solve(
             (jnp.linalg.cholesky(m), True), rhs)
         qd = qd + model.dt * qacc
@@ -226,15 +309,25 @@ def combine_geoms(geoms: Sequence[dict]):
 
 
 def build_chain(bodies: Sequence[dict], dt: float, site_body: int,
-                site_pos) -> ChainModel:
+                site_pos, gravity=(0.0, 0.0, 0.0)) -> ChainModel:
     """Assemble a ChainModel from per-body dicts:
-    {pos, axis, geoms, damping, armature, gear, range}."""
+    {pos, axis, geoms, damping, armature, gear, range, type, parent}.
+    type: 'hinge' (default) or 'slide'; parent: body index (default i-1,
+    -1 = world). Bodies with geoms=[] are massless virtual links
+    (free-base decomposition)."""
     n = len(bodies)
     mass = np.zeros(n)
     com = np.zeros((n, 3))
     inertia = np.zeros((n, 3, 3))
     for i, b in enumerate(bodies):
-        mass[i], com[i], inertia[i] = combine_geoms(b["geoms"])
+        if b.get("geoms"):
+            mass[i], com[i], inertia[i] = combine_geoms(b["geoms"])
+        else:
+            # Massless virtual body: tiny regularizing mass keeps the
+            # joint-space inertia positive definite (armature usually
+            # covers the diagonal anyway).
+            mass[i] = 1e-6
+            inertia[i] = 1e-9 * np.eye(3)
     f32 = lambda x: jnp.asarray(np.asarray(x), jnp.float32)
     return ChainModel(
         joint_axis=f32([b["axis"] for b in bodies]),
@@ -242,7 +335,13 @@ def build_chain(bodies: Sequence[dict], dt: float, site_body: int,
         mass=f32(mass), com=f32(com), inertia=f32(inertia),
         armature=f32([b.get("armature", 0.0) for b in bodies]),
         damping=f32([b.get("damping", 0.0) for b in bodies]),
+        stiffness=f32([b.get("stiffness", 0.0) for b in bodies]),
         gear=f32([b.get("gear", 1.0) for b in bodies]),
         qpos_low=f32([b["range"][0] for b in bodies]),
         qpos_high=f32([b["range"][1] for b in bodies]),
-        dt=dt, site_body=site_body, site_pos=f32(site_pos))
+        gravity=f32(gravity),
+        site_pos=f32(site_pos),
+        parent=tuple(int(b.get("parent", i - 1))
+                     for i, b in enumerate(bodies)),
+        joint_types=tuple(b.get("type", "hinge") for b in bodies),
+        dt=float(dt), site_body=int(site_body))

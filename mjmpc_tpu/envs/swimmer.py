@@ -1,0 +1,146 @@
+"""Swimmer-v0: 5-link planar swimmer in viscous fluid.
+
+Reference: /root/reference/mjmpc/envs/basic/swimmer.py +
+assets/xml/swimmer.xml — torso with a free planar base (slide x, slide y,
+hinge z) plus 4 actuated hinge joints (gear 20, range ±1.5), capsule links
+0.3 long, dt 0.005 x frame_skip 4, water-density fluid. Reward =
+(x_after - x_before) / dt - 1e-4 * Σa² (swimmer.py:10-19); obs =
+[qpos[2:], qvel] (12-dim, swimmer.py:21-24); reset perturbs qpos/qvel by
+U(-0.1, 0.1) (swimmer.py:26-30).
+
+Fluid model: MuJoCo derives per-body fluid forces from the density/
+viscosity options; here each link gets slender-body anisotropic quadratic
+drag (F = -c_perp |v_n| v_n - c_par |v_t| v_t per sample point, two sample
+points per link so distributed drag exerts torque), mapped to generalized
+forces through AD point Jacobians. Same swimming mechanics, not
+bit-identical dynamics (SURVEY.md §7 MuJoCo-drift note).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine import chain as rb
+from .base import Env
+
+_DT = 0.005
+_FRAME_SKIP = 4
+_DENSITY = 1000.0
+_N_LINKS = 5
+_LINK_LEN = 0.3
+_LINK_R = [0.07, 0.065, 0.06, 0.055, 0.05]
+N_Q = 3 + 4           # slide x, slide y, base yaw + 4 joints
+D_OBS = (N_Q - 2) + N_Q   # qpos[2:] + qvel
+
+
+def _bodies():
+    unlim = (-1e6, 1e6)
+    bodies = [
+        dict(pos=(0, 0, 0), axis=(1, 0, 0), type="slide", range=unlim,
+             geoms=[]),
+        dict(pos=(0, 0, 0), axis=(0, 1, 0), type="slide", range=unlim,
+             geoms=[]),
+        # torso link carries the first capsule
+        dict(pos=(0, 0, 0), axis=(0, 0, 1), range=unlim,
+             geoms=[rb.capsule_geom(_LINK_R[0], (0, 0, 0, _LINK_LEN, 0, 0))]),
+    ]
+    for i in range(1, _N_LINKS):
+        bodies.append(dict(
+            pos=(_LINK_LEN if i > 1 else _LINK_LEN, 0, 0),
+            axis=(0, 0, 1), range=(-1.5, 1.5), gear=20.0,
+            geoms=[rb.capsule_geom(_LINK_R[i],
+                                   (0, 0, 0, _LINK_LEN, 0, 0))]))
+    return bodies
+
+
+def build_model() -> rb.ChainModel:
+    return rb.build_chain(_bodies(), dt=_DT, site_body=2,
+                          site_pos=(0.0, 0.0, 0.0))
+
+
+class SwimmerParams(NamedTuple):
+    model: rb.ChainModel
+    drag_perp: jax.Array   # per-link perpendicular drag coefficient
+    drag_par: jax.Array    # per-link parallel drag coefficient
+
+
+class SwimmerState(NamedTuple):
+    qpos: jax.Array
+    qvel: jax.Array
+
+
+def _drag_coeffs():
+    # quadratic slender-body drag: 0.5 * rho * Cd * frontal area
+    per = [0.5 * _DENSITY * 1.0 * (_LINK_LEN * 2 * r) for r in _LINK_R]
+    par = [0.5 * _DENSITY * 0.1 * (np.pi * r * r) for r in _LINK_R]
+    return (jnp.asarray(per, jnp.float32), jnp.asarray(par, jnp.float32))
+
+
+def _ext_forces(params: SwimmerParams):
+    """Generalized fluid-drag forces: two sample points per capsule."""
+    model = params.model
+    link_bodies = list(range(2, 2 + _N_LINKS))
+    samples = [0.25 * _LINK_LEN, 0.75 * _LINK_LEN]
+
+    def fn(_, q, qd):
+        tau = jnp.zeros_like(q)
+        rots, _ = rb.forward_kinematics(model, q)
+        for li, body in enumerate(link_bodies):
+            axis_w = rots[body] @ jnp.array([1.0, 0.0, 0.0])
+            for s in samples:
+                pt = jnp.array([s, 0.0, 0.0])
+
+                def world_point(qq, body=body, pt=pt):
+                    r, p = rb.forward_kinematics(model, qq)
+                    return p[body] + r[body] @ pt
+
+                v = jax.jvp(world_point, (q,), (qd,))[1]
+                v_par = (v @ axis_w) * axis_w
+                v_perp = v - v_par
+                f = (-params.drag_perp[li] * 0.5
+                     * jnp.linalg.norm(v_perp) * v_perp
+                     - params.drag_par[li] * 0.5
+                     * jnp.linalg.norm(v_par) * v_par)
+                tau = tau + rb.point_force_to_generalized(
+                    model, q, body, pt, f)
+        return tau
+
+    return fn
+
+
+def _init(params: SwimmerParams, key: jax.Array) -> SwimmerState:
+    kq, kv = jax.random.split(key)
+    return SwimmerState(
+        qpos=jax.random.uniform(kq, (N_Q,), jnp.float32, -0.1, 0.1),
+        qvel=jax.random.uniform(kv, (N_Q,), jnp.float32, -0.1, 0.1))
+
+
+def _observe(params: SwimmerParams, state: SwimmerState) -> jax.Array:
+    return jnp.concatenate([state.qpos[2:], state.qvel])
+
+
+def _step(params: SwimmerParams, state: SwimmerState, action: jax.Array):
+    ctrl = jnp.clip(action, -1.0, 1.0)
+    full_ctrl = jnp.concatenate([jnp.zeros(3, ctrl.dtype), ctrl])
+    x_before = state.qpos[0]
+    qpos, qvel = rb.step(params.model, state.qpos, state.qvel, full_ctrl,
+                         n_substeps=_FRAME_SKIP,
+                         ext_force_fn=_ext_forces(params))
+    new = SwimmerState(qpos=qpos, qvel=qvel)
+    reward_fwd = (qpos[0] - x_before) / (_DT * _FRAME_SKIP)
+    reward_ctrl = -1e-4 * jnp.sum(ctrl ** 2)
+    return new, _observe(params, new), reward_fwd + reward_ctrl, \
+        jnp.array(False)
+
+
+def make() -> Env:
+    params = SwimmerParams(build_model(), *_drag_coeffs())
+    return Env(
+        name="Swimmer-v0", d_obs=D_OBS, d_action=4,
+        action_lows=np.full(4, -1.0, np.float32),
+        action_highs=np.full(4, 1.0, np.float32),
+        params=params, init=_init, step=_step, observe=_observe,
+        max_episode_steps=500)

@@ -11,6 +11,7 @@ from typing import Callable, Dict
 
 from .base import Env
 from .randomize import randomize_dynamics, randomize_batch, register_names
+from .wrappers import normalize_obs, frame_stack
 from . import pendulum, lqr, point_mass, cartpole
 
 _REGISTRY: Dict[str, Callable[..., Env]] = {
@@ -63,4 +64,5 @@ def _register_deferred():
 _register_deferred()
 
 __all__ = ["Env", "make", "register", "available",
-           "randomize_dynamics", "randomize_batch", "register_names"]
+           "randomize_dynamics", "randomize_batch", "register_names",
+           "normalize_obs", "frame_stack"]

@@ -106,6 +106,19 @@ def rollout_closed_loop_linear(env: Env, params, state0, weights: jax.Array,
     return _scan_rollout(env, params, state0, noise, action_fn)
 
 
+def rollout_closed_loop_policy(env: Env, params, state0, policy_fn,
+                               noise: jax.Array) -> Trajectories:
+    """Closed-loop rollout under an arbitrary policy: u = policy_fn(obs)
+    + noise. policy_fn maps an obs batch [N, d_obs] -> actions [N, dA].
+
+    The reference's TorchModelVecEnv path (rollout_cl with a shared-memory
+    torch policy queried per step per worker, gym_env_wrapper.py:255-325)
+    — here the policy apply is just part of the fused scan body.
+    """
+    return _scan_rollout(env, params, state0, noise,
+                         lambda t, obs: policy_fn(obs))
+
+
 def make_rollout_fn(env: Env, mode: str = "open_loop"):
     """Bind an env into a rollout closure matching the reference's
     injected rollout_fn contract (README.md:135-141, example_mpc.py:112-133),

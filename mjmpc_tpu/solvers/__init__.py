@@ -12,6 +12,9 @@ from .reinforce import Reinforce, ReinforceState
 from .reinforce import build_solve_fn as build_reinforce_solve_fn
 from .softq import SoftQMPC, SoftQState
 from .softq import build_solve_fn as build_softq_solve_fn
+from .random_shooting_nn import RandomShootingNN, RSNNState
+from .random_shooting_nn import build_solve_fn as build_rsnn_solve_fn
+from .base import build_optimal_value_fn
 
 REGISTRY = {
     "mppi": MPPI,
@@ -23,6 +26,7 @@ REGISTRY = {
     "pfmpc": PFMPC,
     "reinforce": Reinforce,
     "softqmpc": SoftQMPC,
+    "random_shooting_nn": RandomShootingNN,
 }
 
 
@@ -45,6 +49,10 @@ def make_solve_fn(solver, env, **kwargs):
         kwargs.pop("calc_val", None)
         kwargs.pop("hotstart", None)  # reference _shift is a no-op
         return build_softq_solve_fn(solver, env, **kwargs)
+    if isinstance(solver, RandomShootingNN):
+        kwargs.pop("calc_val", None)
+        kwargs.pop("hotstart", None)
+        return build_rsnn_solve_fn(solver, env, **kwargs)
     return build_solve_fn(solver, env, **kwargs)
 
 
@@ -52,5 +60,6 @@ __all__ = [
     "GaussianMPC", "GaussianState", "build_solve_fn", "evaluate_episode",
     "MPPI", "MPPIQ", "RandomShooting", "CEM", "DMDMPC", "PFMPC", "PFState",
     "Reinforce", "ReinforceState", "SoftQMPC", "SoftQState",
+    "RandomShootingNN", "RSNNState", "build_optimal_value_fn",
     "REGISTRY", "make_solver", "make_solve_fn",
 ]

@@ -185,6 +185,24 @@ def build_solve_fn(solver: GaussianMPC, env: Env, calc_val: bool = False,
     return solve
 
 
+def build_optimal_value_fn(solver: GaussianMPC, env: Env):
+    """State-value estimate: reset the control distribution, run a full
+    optimize with calc_val and no hotstart, return the value — the
+    reference Controller.get_optimal_value (controller.py:259-275), the
+    state-value hook of the ICLR'21 MPC/value-blending scheme.
+
+    Returns value(env_params, env_state, key) -> scalar.
+    """
+    solve = build_solve_fn(solver, env, calc_val=True, hotstart=False)
+
+    def value(env_params, env_state, key):
+        fresh = solver.init_state(key)
+        _, val, _ = solve(env_params, env_state, fresh)
+        return val
+
+    return value
+
+
 def evaluate_episode(solver: GaussianMPC, env: Env, episode_length: int,
                      calc_val: bool = False, shard_particles=None):
     """Full closed-loop episode — MPC in the loop — as ONE jitted scan.

@@ -14,6 +14,8 @@ from .softq import SoftQMPC, SoftQState
 from .softq import build_solve_fn as build_softq_solve_fn
 from .random_shooting_nn import RandomShootingNN, RSNNState
 from .random_shooting_nn import build_solve_fn as build_rsnn_solve_fn
+from .ilqr import ILQR, ILQRState
+from .ilqr import build_solve_fn as build_ilqr_solve_fn
 from .base import build_optimal_value_fn
 
 REGISTRY = {
@@ -27,6 +29,7 @@ REGISTRY = {
     "reinforce": Reinforce,
     "softqmpc": SoftQMPC,
     "random_shooting_nn": RandomShootingNN,
+    "ilqr": ILQR,
 }
 
 
@@ -53,6 +56,11 @@ def make_solve_fn(solver, env, **kwargs):
         kwargs.pop("calc_val", None)
         kwargs.pop("hotstart", None)
         return build_rsnn_solve_fn(solver, env, **kwargs)
+    if isinstance(solver, ILQR):
+        kwargs.pop("calc_val", None)
+        kwargs.pop("hotstart", None)
+        kwargs.pop("shard_particles", None)  # iLQR is not particle-based
+        return build_ilqr_solve_fn(solver, env, **kwargs)
     return build_solve_fn(solver, env, **kwargs)
 
 

@@ -47,7 +47,7 @@ def build_episode_fn(solver, env: Env, episode_length: int,
                     if env.success is not None else jnp.array(False))
             return (env_state, solver_state), dict(
                 reward=reward, action=action, value=value, done=done,
-                success=succ)
+                success=succ, state=env_state)
 
         (_, final_solver_state), out = jax.lax.scan(
             step_fn, (env_state, solver_state), None, length=episode_length)
@@ -57,8 +57,7 @@ def build_episode_fn(solver, env: Env, episode_length: int,
 
 
 def run_episodes(solver, env: Env, n_episodes: int, episode_length: int,
-                 base_seed: int = 123, sim_params=None,
-                 return_states: bool = False) -> Dict[str, Any]:
+                 base_seed: int = 123, sim_params=None) -> Dict[str, Any]:
     """Batch of episodes with the reference's per-episode seeding
     (episode_seed = base_seed + i*12345, example_mpc.py:146).
 
@@ -92,5 +91,7 @@ def run_episodes(solver, env: Env, n_episodes: int, episode_length: int,
         average_reward=float(ep_rewards.mean()),
         reward_std=float(ep_rewards.std()),
         success_metric=success_metric,
+        # stacked env-state pytree [B, T, ...] for replay/rendering
+        states=jax.tree_util.tree_map(np.asarray, out["state"]),
     )
     return result

@@ -40,6 +40,8 @@ def main(argv=None):
                         help="dump episode arrays to npz")
     parser.add_argument("--checkpoint", action="store_true",
                         help="save final solver state")
+    parser.add_argument("--dump_vids", action="store_true",
+                        help="render episode videos (reference flag)")
     args = parser.parse_args(argv)
 
     exp_params = cfg.load_config(args.config)
@@ -100,6 +102,13 @@ def main(argv=None):
             np.savez(os.path.join(log_dir, "trajectories.npz"),
                      rewards=out["rewards"], actions=out["actions"],
                      successes=out["successes"])
+        if args.dump_vids:
+            from .. import render
+            try:
+                paths = render.dump_videos(env, out["states"], log_dir)
+                logger.info("dumped videos: %s", paths)
+            except ValueError as e:
+                logger.warning("video dump skipped: %s", e)
         results[controller_name] = out
     return results
 

@@ -1,0 +1,155 @@
+"""Matplotlib-based env renderers (see package docstring)."""
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from ..engine import chain as rb  # noqa: E402
+
+
+def _fig_to_frame(fig) -> np.ndarray:
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())
+    return buf[..., :3].copy()
+
+
+def _chain_points(model: rb.ChainModel, qpos) -> np.ndarray:
+    import jax
+    rots, poss = jax.jit(rb.forward_kinematics)(model,
+                                                np.asarray(qpos, np.float32))
+    return np.asarray(poss)
+
+
+def _render_chain(env, state_t, ax, plane=(0, 2)):
+    """Skeleton in a coordinate plane: body frame origins + site/target."""
+    model = env.params.model
+    pts = _chain_points(model, state_t.qpos)
+    a, b = plane
+    # draw each body as a segment from its parent frame to its own
+    for i in range(model.n_joints):
+        pi = model.parent[i]
+        p0 = np.zeros(3) if pi < 0 else pts[pi]
+        ax.plot([p0[a], pts[i][a]], [p0[b], pts[i][b]], "-o",
+                color="tab:blue", markersize=3, linewidth=2)
+    target = getattr(state_t, "target", None)
+    if target is not None:
+        t = np.asarray(target)
+        ax.plot([t[a]], [t[b]], "g*", markersize=14)
+
+
+def _render_pendulum(env, state_t, ax):
+    th = float(np.asarray(state_t.th))
+    x, y = np.sin(th), np.cos(th)
+    ax.plot([0, x], [0, y], "-o", color="tab:blue", linewidth=3)
+    ax.set_xlim(-1.4, 1.4)
+    ax.set_ylim(-1.4, 1.4)
+
+
+def _render_cartpole(env, state_t, ax):
+    x = float(np.asarray(state_t.x))
+    th = float(np.asarray(state_t.th))
+    ax.add_patch(plt.Rectangle((x - 0.2, -0.1), 0.4, 0.2, color="gray"))
+    ax.plot([x, x + np.sin(th)], [0, np.cos(th)], "-o",
+            color="tab:blue", linewidth=3)
+    ax.set_xlim(x - 2.5, x + 2.5)
+    ax.set_ylim(-1.4, 1.4)
+
+
+def _render_point(env, state_t, ax):
+    x = np.asarray(state_t.x)
+    ax.plot([x[0]], [x[1] if x.shape[0] > 1 else 0.0], "o",
+            color="tab:blue", markersize=10)
+    ax.plot([0], [0], "g*", markersize=14)
+    ax.set_xlim(-3, 3)
+    ax.set_ylim(-3, 3)
+
+
+def _render_reacher(env, state_t, ax):
+    _render_chain(env, state_t, ax, plane=(1, 2))   # y-z side view
+    ax.set_xlim(-1.2, 0.6)
+    ax.set_ylim(-0.8, 0.8)
+
+
+def _render_planar(env, state_t, ax, plane=(0, 2), span=1.5):
+    _render_chain(env, state_t, ax, plane=plane)
+    pts = _chain_points(env.params.model, state_t.qpos)
+    cx = pts[:, plane[0]].mean()
+    ax.set_xlim(cx - span, cx + span)
+    ax.set_ylim(-span, span)
+    ax.axhline(0.0, color="k", linewidth=0.5)
+
+
+_RENDERERS: Dict[str, Callable] = {
+    "SimplePendulum-v0": _render_pendulum,
+    "cartpole-v0": _render_cartpole,
+    "point_mass-v0": _render_point,
+    "LQR-v0": _render_point,
+    "reacher_7dof-v0": _render_reacher,
+    "continual_reacher-v0": _render_reacher,
+    "Swimmer-v0": lambda e, s, ax: _render_planar(e, s, ax, plane=(0, 1)),
+    "HalfCheetah-v0": lambda e, s, ax: _render_planar(e, s, ax,
+                                                      plane=(0, 2)),
+    "acrobot-v0": lambda e, s, ax: _render_planar(e, s, ax, plane=(0, 2),
+                                                  span=2.2),
+}
+
+SUPPORTED = sorted(_RENDERERS)
+
+
+def _index_state(states, b: int, t: int):
+    import jax
+    return jax.tree_util.tree_map(lambda x: x[b, t], states)
+
+
+def render_trajectory(env, states, episode: int = 0,
+                      fps: int = 25, figsize=(4, 4),
+                      max_frames: int = 400) -> List[np.ndarray]:
+    """Frames for one recorded episode (states: [B, T, ...] pytree from
+    harness.run_episodes)."""
+    base = env.name.split("+")[0]
+    if base not in _RENDERERS:
+        raise ValueError(f"no renderer for env {env.name!r}; "
+                         f"supported: {SUPPORTED}")
+    render = _RENDERERS[base]
+    import jax
+    n_t = jax.tree_util.tree_leaves(states)[0].shape[1]
+    stride = max(1, n_t // max_frames)
+
+    frames = []
+    fig, ax = plt.subplots(figsize=figsize, dpi=80)
+    for t in range(0, n_t, stride):
+        ax.clear()
+        ax.set_aspect("equal")
+        render(env, _index_state(states, episode, t), ax)
+        ax.set_title(f"{env.name}  t={t}")
+        frames.append(_fig_to_frame(fig))
+    plt.close(fig)
+    return frames
+
+
+def dump_videos(env, states, folder: str, filename: str = "vid_traj_",
+                fps: int = 25, episodes=None) -> List[str]:
+    """Write one video per episode (reference helpers.dump_videos role)."""
+    import imageio
+    import jax
+
+    os.makedirs(folder, exist_ok=True)
+    n_b = jax.tree_util.tree_leaves(states)[0].shape[0]
+    episodes = range(n_b) if episodes is None else episodes
+    paths = []
+    for b in episodes:
+        frames = render_trajectory(env, states, episode=b, fps=fps)
+        path = os.path.join(folder, f"{filename}{b}.mp4")
+        try:
+            imageio.mimsave(path, frames, fps=fps)
+        except Exception:
+            path = os.path.join(folder, f"{filename}{b}.gif")
+            imageio.mimsave(path, frames, duration=1000.0 / fps)
+        paths.append(path)
+    return paths

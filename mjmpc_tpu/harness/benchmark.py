@@ -115,12 +115,69 @@ DEFAULT_SUITE = [
 ]
 
 
+def bench_latency(env_name: str = "reacher_7dof-v0", horizon: int = 32,
+                  num_particles: int = 4096, iters: int = 30):
+    """Blocked per-solve latency — the real-time control metric (one MPC
+    solve per control step; reference pays an IPC round trip here)."""
+    env = envs.make(env_name)
+    solver = solvers.MPPI(
+        d_action=env.d_action, horizon=horizon, num_particles=num_particles,
+        lam=0.01, init_cov=3.0, step_size=0.55, gamma=1.0,
+        filter_coeffs=(0.25, 0.8, 0.0), base_action="repeat")
+    solve = jax.jit(solvers.make_solve_fn(solver, env))
+    s = solver.init_state(jax.random.PRNGKey(0))
+    est = env.init(env.params, jax.random.PRNGKey(1))
+    out = solve(env.params, est, s)
+    jax.block_until_ready(out)
+    lats = []
+    for _ in range(iters):
+        start = time.perf_counter()
+        out = solve(env.params, est, s)
+        jax.block_until_ready(out)
+        lats.append(time.perf_counter() - start)
+    med = float(np.median(lats))
+    return dict(metric=f"mppi_solve_latency_ms"
+                       f"[{env_name},H={horizon},N={num_particles}]",
+                value=round(med * 1e3, 3), unit="ms")
+
+
+def bench_sharded(horizon: int = 32, particles_per_device: int = 4096,
+                  iters: int = 30):
+    """Weak-scaling probe: sharded solve with N scaled by device count
+    (run on a pod slice for the BASELINE 1->2 host numbers)."""
+    from .. import parallel
+    n_dev = len(jax.devices())
+    mesh = parallel.make_mesh()
+    env = envs.make("reacher_7dof-v0" if "reacher_7dof-v0"
+                    in envs.available() else "SimplePendulum-v0")
+    n = particles_per_device * n_dev
+    solver = solvers.MPPI(
+        d_action=env.d_action, horizon=horizon, num_particles=n,
+        lam=0.01, init_cov=3.0, step_size=0.55, gamma=1.0,
+        filter_coeffs=(0.25, 0.8, 0.0), base_action="repeat")
+    solve = parallel.build_sharded_solve_fn(solver, env, mesh)
+    s = solver.init_state(jax.random.PRNGKey(0))
+    est = env.init(env.params, jax.random.PRNGKey(1))
+    a, _, s = solve(env.params, est, s)
+    jax.block_until_ready(a)
+    start = time.perf_counter()
+    for _ in range(iters):
+        a, _, s = solve(env.params, est, s)
+    jax.block_until_ready(a)
+    dt = (time.perf_counter() - start) / iters
+    return dict(metric=f"sharded_mppi_solves_per_s"
+                       f"[{env.name},H={horizon},N={n},devices={n_dev}]",
+                value=round(1.0 / dt, 2), unit="solves/s")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="fewer iterations / smaller suite")
     parser.add_argument("--json", type=str, default=None,
                         help="also write results to this file")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="capture a jax.profiler trace to this dir")
     args = parser.parse_args(argv)
 
     suite = DEFAULT_SUITE[:3] if args.quick else DEFAULT_SUITE
@@ -133,9 +190,20 @@ def main(argv=None):
         row = bench_solver(env_name, controller, horizon, n, iters=iters)
         rows.append(row)
         print(json.dumps(row))
+    rows.append(bench_latency())
+    print(json.dumps(rows[-1]))
+    if len(jax.devices()) > 1:
+        rows.append(bench_sharded())
+        print(json.dumps(rows[-1]))
     for row in bench_ops():
         rows.append(row)
         print(json.dumps(row))
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            bench_latency(iters=5)
+        print(json.dumps(dict(metric="profile_trace", value=args.profile,
+                              unit="path")))
 
     if args.json:
         with open(args.json, "w") as f:

@@ -59,6 +59,20 @@ def _register_deferred():
         _REGISTRY.setdefault("HalfCheetah-v0", half_cheetah.make)
     except ImportError:
         pass
+    try:
+        from . import sawyer_tasks, reacher_7dof
+        _REGISTRY.setdefault("sawyer_reacher-v0", reacher_7dof.make)
+        _REGISTRY.setdefault("sawyer_pusher-v0", sawyer_tasks.make_pusher)
+        _REGISTRY.setdefault("sawyer_door-v0", sawyer_tasks.make_door)
+        _REGISTRY.setdefault("sawyer_peg_insertion-v0",
+                             sawyer_tasks.make_peg_insertion)
+    except ImportError:
+        pass
+    try:
+        from . import pen
+        _REGISTRY.setdefault("pen-v0", pen.make)
+    except ImportError:
+        pass
 
 
 _register_deferred()

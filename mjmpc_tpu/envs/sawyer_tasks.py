@@ -1,0 +1,307 @@
+"""Sawyer-arm task family: pusher, door, peg insertion.
+
+The reference runs these through the external mj_envs sawyer suite
+(README.md:33-35; configs/sawyer/*.yml — sawyer_reacher / sawyer_pusher /
+sawyer_door / sawyer_peg_insertion). mj_envs is not vendored here; these
+are re-designs of the same task capabilities on the in-repo engine, using
+the reacher arm (sawyer.xml data) plus extra bodies in the same kinematic
+FOREST (the parent table supports multiple roots), with smooth penalty /
+spring interaction forces mapped through AD point Jacobians:
+
+- sawyer_pusher-v0: arm + free planar block; push the block to a target.
+- sawyer_door-v0: arm + hinged door; pull the handle to a target angle.
+- sawyer_peg_insertion-v0: guide the wrist-mounted peg into a hole,
+  rewarding axial alignment and insertion depth.
+
+Rewards are distance-shaped like the reference suite's (weighted L1/L2
+reach + task terms); success predicates give the evaluate_success metric.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine import chain as rb
+from .base import Env
+from .reacher_7dof import _BODIES as _ARM_BODIES, _FRAME_SKIP, _DT
+
+_N_ARM = 7
+_HAND_R = 0.08
+_BLOCK_R = 0.05
+
+
+# ---------------------------------------------------------------------------
+# pusher
+# ---------------------------------------------------------------------------
+
+class PusherParams(NamedTuple):
+    model: rb.ChainModel
+    k_contact: jax.Array
+
+
+class PusherState(NamedTuple):
+    qpos: jax.Array     # [9] = 7 arm + block (x, y)
+    qvel: jax.Array
+    target: jax.Array   # [2] block goal on the plane
+    timestep: jax.Array
+
+
+_BLOCK_BASE = np.array([0.0, -0.1, 0.0], np.float32)
+
+
+def _pusher_model() -> rb.ChainModel:
+    unlim = (-1e6, 1e6)
+    bodies = list(_ARM_BODIES) + [
+        dict(pos=tuple(_BLOCK_BASE), axis=(1, 0, 0), type="slide",
+             range=unlim, parent=-1, damping=2.0, geoms=[]),
+        dict(pos=(0, 0, 0), axis=(0, 1, 0), type="slide", range=unlim,
+             parent=_N_ARM, damping=2.0,
+             geoms=[rb.sphere_geom(_BLOCK_R)]),
+    ]
+    return rb.build_chain(bodies, dt=_DT, site_body=6,
+                          site_pos=(0.0, 0.0, 0.0))
+
+
+def _hand_and_block(model, q):
+    rots, poss = rb.forward_kinematics(model, q)
+    return poss[6], poss[_N_ARM + 1]
+
+
+def _pusher_forces(params: PusherParams):
+    model = params.model
+
+    def fn(_, q, qd):
+        hand, block = _hand_and_block(model, q)
+        diff = block - hand
+        dist = jnp.linalg.norm(diff) + 1e-8
+        overlap = (_HAND_R + _BLOCK_R) - dist
+        fmag = jnp.where(overlap > 0.0, params.k_contact * overlap, 0.0)
+        f = fmag * diff / dist
+        tau = rb.point_force_to_generalized(
+            model, q, _N_ARM + 1, jnp.zeros(3), f)
+        tau = tau + rb.point_force_to_generalized(
+            model, q, 6, jnp.zeros(3), -f)
+        return tau
+
+    return fn
+
+
+def _pusher_init(params, key):
+    kt, _ = jax.random.split(key)
+    target = jax.random.uniform(kt, (2,), jnp.float32,
+                                jnp.array([-0.25, -0.35]),
+                                jnp.array([0.25, 0.15]))
+    return PusherState(qpos=jnp.zeros(9), qvel=jnp.zeros(9),
+                       target=target, timestep=jnp.array(0, jnp.int32))
+
+
+def _pusher_obs(params, state):
+    model = params.model
+    hand, block = _hand_and_block(model, state.qpos)
+    return jnp.concatenate([
+        state.qpos, state.qvel, hand, block[:2] - state.target,
+        hand - block])
+
+
+def _pusher_step(params, state, action):
+    ctrl = jnp.concatenate([jnp.clip(action, -1.0, 1.0), jnp.zeros(2)])
+    qpos, qvel = rb.step(params.model, state.qpos, state.qvel, ctrl,
+                         n_substeps=_FRAME_SKIP,
+                         ext_force_fn=_pusher_forces(params))
+    new = state._replace(qpos=qpos, qvel=qvel,
+                         timestep=state.timestep + 1)
+    hand, block = _hand_and_block(params.model, qpos)
+    reach = jnp.linalg.norm(hand - block)
+    push = jnp.linalg.norm(block[:2] - state.target)
+    reward = -reach - 2.0 * push
+    return new, _pusher_obs(params, new), reward, jnp.array(False)
+
+
+def _pusher_success(params, state):
+    _, block = _hand_and_block(params.model, state.qpos)
+    return jnp.linalg.norm(block[:2] - state.target) < 0.05
+
+
+def make_pusher() -> Env:
+    params = PusherParams(model=_pusher_model(),
+                          k_contact=jnp.float32(500.0))
+    return Env(name="sawyer_pusher-v0", d_obs=9 + 9 + 3 + 2 + 3,
+               d_action=7,
+               action_lows=np.full(7, -1.0, np.float32),
+               action_highs=np.full(7, 1.0, np.float32),
+               params=params, init=_pusher_init, step=_pusher_step,
+               observe=_pusher_obs, success=_pusher_success,
+               max_episode_steps=100)
+
+
+# ---------------------------------------------------------------------------
+# door
+# ---------------------------------------------------------------------------
+
+class DoorParams(NamedTuple):
+    model: rb.ChainModel
+    k_grab: jax.Array
+    grab_radius: jax.Array
+    target_angle: jax.Array
+
+
+class DoorState(NamedTuple):
+    qpos: jax.Array     # [8] = 7 arm + door hinge
+    qvel: jax.Array
+    timestep: jax.Array
+
+
+_DOOR_HINGE = (0.25, -0.05, 0.0)
+_HANDLE_LOCAL = jnp.array([0.3, 0.0, 0.0])
+
+
+def _door_model() -> rb.ChainModel:
+    bodies = list(_ARM_BODIES) + [
+        dict(pos=_DOOR_HINGE, axis=(0, 0, 1), range=(0.0, 1.57),
+             parent=-1, damping=1.0,
+             geoms=[rb.capsule_geom(0.02, (0, 0, 0, 0.3, 0, 0))]),
+    ]
+    return rb.build_chain(bodies, dt=_DT, site_body=6,
+                          site_pos=(0.0, 0.0, 0.0))
+
+
+def _door_points(model, q):
+    rots, poss = rb.forward_kinematics(model, q)
+    handle = poss[_N_ARM] + rots[_N_ARM] @ _HANDLE_LOCAL
+    return poss[6], handle
+
+
+def _door_forces(params: DoorParams):
+    model = params.model
+
+    def fn(_, q, qd):
+        hand, handle = _door_points(model, q)
+        diff = hand - handle
+        dist = jnp.linalg.norm(diff) + 1e-8
+        engaged = dist < params.grab_radius
+        f = jnp.where(engaged, params.k_grab, 0.0) * diff
+        return rb.point_force_to_generalized(
+            model, q, _N_ARM, _HANDLE_LOCAL, f)
+
+    return fn
+
+
+def _door_init(params, key):
+    return DoorState(qpos=jnp.zeros(8), qvel=jnp.zeros(8),
+                     timestep=jnp.array(0, jnp.int32))
+
+
+def _door_obs(params, state):
+    hand, handle = _door_points(params.model, state.qpos)
+    return jnp.concatenate([
+        state.qpos, state.qvel, hand - handle,
+        (params.target_angle - state.qpos[-1])[None]])
+
+
+def _door_step(params, state, action):
+    ctrl = jnp.concatenate([jnp.clip(action, -1.0, 1.0), jnp.zeros(1)])
+    qpos, qvel = rb.step(params.model, state.qpos, state.qvel, ctrl,
+                         n_substeps=_FRAME_SKIP,
+                         ext_force_fn=_door_forces(params))
+    new = state._replace(qpos=qpos, qvel=qvel, timestep=state.timestep + 1)
+    hand, handle = _door_points(params.model, qpos)
+    reward = (-jnp.abs(params.target_angle - qpos[-1]) * 2.0
+              - 0.5 * jnp.linalg.norm(hand - handle))
+    return new, _door_obs(params, new), reward, jnp.array(False)
+
+
+def _door_success(params, state):
+    return jnp.abs(params.target_angle - state.qpos[-1]) < 0.1
+
+
+def make_door() -> Env:
+    params = DoorParams(model=_door_model(), k_grab=jnp.float32(60.0),
+                        grab_radius=jnp.float32(0.12),
+                        target_angle=jnp.float32(1.2))
+    return Env(name="sawyer_door-v0", d_obs=8 + 8 + 3 + 1, d_action=7,
+               action_lows=np.full(7, -1.0, np.float32),
+               action_highs=np.full(7, 1.0, np.float32),
+               params=params, init=_door_init, step=_door_step,
+               observe=_door_obs, success=_door_success,
+               max_episode_steps=100)
+
+
+# ---------------------------------------------------------------------------
+# peg insertion
+# ---------------------------------------------------------------------------
+
+class PegParams(NamedTuple):
+    model: rb.ChainModel
+    hole_entry: jax.Array   # [3]
+    hole_axis: jax.Array    # [3] unit, pointing INTO the hole
+    hole_depth: jax.Array
+
+
+class PegState(NamedTuple):
+    qpos: jax.Array
+    qvel: jax.Array
+    timestep: jax.Array
+
+
+_PEG_TIP = jnp.array([0.12, 0.0, 0.0])   # peg extends past the wrist
+
+
+def _peg_model() -> rb.ChainModel:
+    return rb.build_chain(list(_ARM_BODIES), dt=_DT, site_body=6,
+                          site_pos=(0.12, 0.0, 0.0))
+
+
+def _peg_init(params, key):
+    return PegState(qpos=jnp.zeros(7), qvel=jnp.zeros(7),
+                    timestep=jnp.array(0, jnp.int32))
+
+
+def _peg_metrics(params: PegParams, q):
+    tip = rb.site_position(params.model, q)
+    rel = tip - params.hole_entry
+    depth = rel @ params.hole_axis                  # >0 once inside
+    lateral = jnp.linalg.norm(rel - depth * params.hole_axis)
+    return tip, depth, lateral
+
+
+def _peg_obs(params, state):
+    tip, depth, lateral = _peg_metrics(params, state.qpos)
+    return jnp.concatenate([
+        state.qpos, state.qvel, tip - params.hole_entry,
+        jnp.stack([depth, lateral])])
+
+
+def _peg_step(params, state, action):
+    ctrl = jnp.clip(action, -1.0, 1.0)
+    qpos, qvel = rb.step(params.model, state.qpos, state.qvel, ctrl,
+                         n_substeps=_FRAME_SKIP)
+    new = state._replace(qpos=qpos, qvel=qvel, timestep=state.timestep + 1)
+    tip, depth, lateral = _peg_metrics(params, qpos)
+    bottom = params.hole_entry + params.hole_depth * params.hole_axis
+    # reach the hole mouth, stay on axis, drive to the bottom
+    reward = (-jnp.linalg.norm(tip - bottom)
+              - 5.0 * lateral * jnp.clip(depth, 0.0, None) /
+              jnp.maximum(params.hole_depth, 1e-6))
+    return new, _peg_obs(params, new), reward, jnp.array(False)
+
+
+def _peg_success(params, state):
+    _, depth, lateral = _peg_metrics(params, state.qpos)
+    return (depth > 0.8 * params.hole_depth) & (lateral < 0.025)
+
+
+def make_peg_insertion() -> Env:
+    params = PegParams(model=_peg_model(),
+                       hole_entry=jnp.array([0.2, -0.25, -0.1]),
+                       hole_axis=jnp.array([0.0, 0.0, -1.0]),
+                       hole_depth=jnp.float32(0.08))
+    return Env(name="sawyer_peg_insertion-v0", d_obs=7 + 7 + 3 + 2,
+               d_action=7,
+               action_lows=np.full(7, -1.0, np.float32),
+               action_highs=np.full(7, 1.0, np.float32),
+               params=params, init=_peg_init, step=_peg_step,
+               observe=_peg_obs, success=_peg_success,
+               max_episode_steps=100)

@@ -73,6 +73,12 @@ def _register_deferred():
         _REGISTRY.setdefault("pen-v0", pen.make)
     except ImportError:
         pass
+    try:
+        from . import maze
+        _REGISTRY.setdefault("maze-v0", maze.make)
+        _REGISTRY.setdefault("continual_maze-v0", maze.make_continual)
+    except ImportError:
+        pass
 
 
 _register_deferred()

@@ -16,7 +16,7 @@ from .random_shooting_nn import RandomShootingNN, RSNNState
 from .random_shooting_nn import build_solve_fn as build_rsnn_solve_fn
 from .ilqr import ILQR, ILQRState
 from .ilqr import build_solve_fn as build_ilqr_solve_fn
-from .base import build_optimal_value_fn
+from .base import build_optimal_value_fn, guard_finite
 
 REGISTRY = {
     "mppi": MPPI,
@@ -69,5 +69,6 @@ __all__ = [
     "MPPI", "MPPIQ", "RandomShooting", "CEM", "DMDMPC", "PFMPC", "PFState",
     "Reinforce", "ReinforceState", "SoftQMPC", "SoftQState",
     "RandomShootingNN", "RSNNState", "build_optimal_value_fn",
+    "ILQR", "ILQRState", "guard_finite",
     "REGISTRY", "make_solver", "make_solve_fn",
 ]

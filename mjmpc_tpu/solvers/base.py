@@ -185,6 +185,37 @@ def build_solve_fn(solver: GaussianMPC, env: Env, calc_val: bool = False,
     return solve
 
 
+def guard_finite(solve, solver):
+    """Failure-recovery wrapper: if a solve produces a non-finite action
+    or solver state (diverged rollout, collapsed covariance), discard it
+    and re-initialize the control distribution from the state's own key,
+    playing a zero action for that step.
+
+    The reference has no failure handling at all (SURVEY.md §5 — a NaN in
+    a worker propagates through the pipe into the update); this is the
+    single-program SPMD equivalent of restarting a bad worker.
+    """
+    def guarded(env_params, env_state, solver_state):
+        action, value, new_state = solve(env_params, env_state,
+                                         solver_state)
+        leaves = jax.tree_util.tree_leaves((action, new_state))
+        ok = jnp.array(True)
+        for leaf in leaves:
+            if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
+                ok = ok & jnp.all(jnp.isfinite(leaf))
+
+        fresh = solver.init_state(jax.random.fold_in(
+            solver_state.key, solver_state.step))
+        fresh = fresh._replace(step=solver_state.step + 1)
+        recovered = jax.tree_util.tree_map(
+            lambda good, bad: jnp.where(ok, good, bad), new_state, fresh)
+        safe_action = jnp.where(ok, action, jnp.zeros_like(action))
+        return safe_action, jnp.where(ok, value, jnp.float32(0.0)), \
+            recovered
+
+    return guarded
+
+
 def build_optimal_value_fn(solver: GaussianMPC, env: Env):
     """State-value estimate: reset the control distribution, run a full
     optimize with calc_val and no hotstart, return the value — the

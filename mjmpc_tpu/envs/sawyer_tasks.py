@@ -246,9 +246,6 @@ class PegState(NamedTuple):
     timestep: jax.Array
 
 
-_PEG_TIP = jnp.array([0.12, 0.0, 0.0])   # peg extends past the wrist
-
-
 def _peg_model() -> rb.ChainModel:
     return rb.build_chain(list(_ARM_BODIES), dt=_DT, site_body=6,
                           site_pos=(0.12, 0.0, 0.0))

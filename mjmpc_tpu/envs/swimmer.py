@@ -49,7 +49,7 @@ def _bodies():
     ]
     for i in range(1, _N_LINKS):
         bodies.append(dict(
-            pos=(_LINK_LEN if i > 1 else _LINK_LEN, 0, 0),
+            pos=(_LINK_LEN, 0, 0),
             axis=(0, 0, 1), range=(-1.5, 1.5), gear=20.0,
             geoms=[rb.capsule_geom(_LINK_R[i],
                                    (0, 0, 0, _LINK_LEN, 0, 0))]))

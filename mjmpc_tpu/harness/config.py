@@ -39,12 +39,18 @@ def load_config(path: str) -> Dict[str, Any]:
         return yaml.safe_load(f)
 
 
-def _first_if_list(v):
-    """Sweep configs put lists in scalar fields (tune axes); a single run
-    takes the first entry (job_script treats lists as grid axes)."""
-    if isinstance(v, list) and v and not isinstance(v[0], (list, str)):
+# Keys whose values are legitimately list-valued (not tune axes).
+_LIST_VALUED = {"filter_coeffs", "init_cov", "hidden"}
+
+
+def _scalarize(key: str, v):
+    """Sweep/tune configs put lists in scalar fields (grid axes,
+    job_script.py:163-208); a single run takes the FIRST entry — except
+    genuinely list-valued fields (AR coefficients; per-action-dim
+    init_cov, which is averaged later)."""
+    if key in _LIST_VALUED or not isinstance(v, list) or not v:
         return v
-    return v
+    return v[0]
 
 
 def solver_params_from_config(exp_params: Dict[str, Any],
@@ -55,12 +61,12 @@ def solver_params_from_config(exp_params: Dict[str, Any],
     if controller_name not in exp_params:
         raise ValueError(
             f"config has no section for controller {controller_name!r}")
-    section = dict(exp_params[controller_name])
+    section = {k: _scalarize(k, v)
+               for k, v in exp_params[controller_name].items()}
 
     if "num_cpu" in section and "particles_per_cpu" in section:
-        section["num_particles"] = (int(np.prod(np.atleast_1d(
-            section["num_cpu"]))) * int(np.prod(np.atleast_1d(
-                section["particles_per_cpu"]))))
+        section["num_particles"] = (int(section["num_cpu"])
+                                    * int(section["particles_per_cpu"]))
     for k in _DROPPED_KEYS & set(section):
         if k == "update_cov":
             section["update_cov"] = bool(section["update_cov"])

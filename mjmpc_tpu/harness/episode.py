@@ -21,14 +21,16 @@ from ..envs.base import Env
 
 
 def build_episode_fn(solver, env: Env, episode_length: int,
-                     shard_particles=None):
+                     shard_particles=None, sim_env: Env = None):
     """episode(real_params, sim_params, key) -> dict of [T, ...] arrays.
 
-    The solver plans against sim_params; the environment advances under
-    real_params (identical pytree structure, possibly different values —
-    the reference's sim_env vs env split).
+    The solver plans against sim_params (through sim_env's dynamics
+    functions when given — the reference's sim_env_name split,
+    example_mpc.py:46); the environment advances under real_params via
+    env.step. The two envs must share the state pytree structure.
     """
-    solve = solvers.make_solve_fn(solver, env,
+    plan_env = sim_env if sim_env is not None else env
+    solve = solvers.make_solve_fn(solver, plan_env,
                                   shard_particles=shard_particles)
 
     def episode(real_params, sim_params, key):
@@ -57,23 +59,28 @@ def build_episode_fn(solver, env: Env, episode_length: int,
 
 
 def run_episodes(solver, env: Env, n_episodes: int, episode_length: int,
-                 base_seed: int = 123, sim_params=None) -> Dict[str, Any]:
+                 base_seed: int = 123, sim_params=None,
+                 sim_env: Env = None) -> Dict[str, Any]:
     """Batch of episodes with the reference's per-episode seeding
     (episode_seed = base_seed + i*12345, example_mpc.py:146).
 
-    Returns rewards [B, T], actions [B, T, dA], success flags, plus the
-    aggregate metrics the reference logs (AverageReward, StdReward,
-    SuccessMetric = % episodes with > 10 goal-achieved steps,
-    reacher_env.py:117-125).
+    Returns rewards [B, T], actions [B, T, dA], success flags, the final
+    solver states, plus the aggregate metrics the reference logs
+    (AverageReward, StdReward, SuccessMetric = % episodes with > 10
+    goal-achieved steps, reacher_env.py:117-125). sim_env/sim_params
+    redirect planning to different dynamics (model-mismatch experiments).
     """
-    episode = build_episode_fn(solver, env, episode_length)
-    sim_params = env.params if sim_params is None else sim_params
+    episode = build_episode_fn(solver, env, episode_length,
+                               sim_env=sim_env)
+    if sim_params is None:
+        sim_params = (sim_env.params if sim_env is not None
+                      else env.params)
 
     keys = jnp.stack([jax.random.PRNGKey(base_seed + i * 12345)
                       for i in range(n_episodes)])
     batched = jax.jit(jax.vmap(
-        lambda k: episode(env.params, sim_params, k)[0]))
-    out = batched(keys)
+        lambda k: episode(env.params, sim_params, k)))
+    out, final_solver_states = batched(keys)
 
     rewards = np.asarray(out["reward"])          # [B, T]
     successes = np.asarray(out["success"])       # [B, T]
@@ -93,5 +100,7 @@ def run_episodes(solver, env: Env, n_episodes: int, episode_length: int,
         success_metric=success_metric,
         # stacked env-state pytree [B, T, ...] for replay/rendering
         states=jax.tree_util.tree_map(np.asarray, out["state"]),
+        # final solver-state pytree [B, ...] for checkpoint/resume
+        final_solver_states=final_solver_states,
     )
     return result

@@ -81,7 +81,8 @@ def main(argv=None):
             n_episodes=exp_params["n_episodes"],
             episode_length=exp_params["max_ep_length"],
             base_seed=exp_params["seed"],
-            sim_params=sim_params)
+            sim_params=sim_params,
+            sim_env=sim_env if sim_env.name != env.name else None)
         timeit.stop("start_" + controller_name)
 
         logger.info(
@@ -102,12 +103,21 @@ def main(argv=None):
             np.savez(os.path.join(log_dir, "trajectories.npz"),
                      rewards=out["rewards"], actions=out["actions"],
                      successes=out["successes"])
+        if args.checkpoint:
+            from . import checkpoint
+            checkpoint.save_solver_state(
+                os.path.join(log_dir, "solver_state"),
+                out["final_solver_states"],
+                metadata=dict(controller=controller_name,
+                              env=env.name,
+                              n_episodes=exp_params["n_episodes"]))
+            logger.info("saved solver-state checkpoint")
         if args.dump_vids:
             from .. import render
             try:
                 paths = render.dump_videos(env, out["states"], log_dir)
                 logger.info("dumped videos: %s", paths)
-            except ValueError as e:
+            except (ValueError, AttributeError) as e:
                 logger.warning("video dump skipped: %s", e)
         results[controller_name] = out
     return results

@@ -16,8 +16,7 @@ collectives (the scaling-book recipe).
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +24,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..envs.base import Env
 from ..solvers import PFMPC, make_solve_fn
-from ..solvers.base import GaussianMPC, evaluate_episode
 from .mesh import EPISODES_AXIS, PARTICLES_AXIS, make_mesh
 
 
@@ -63,25 +61,54 @@ def build_sharded_solve_fn(solver, env: Env, mesh: Optional[Mesh] = None,
                    out_shardings=(repl, repl, repl))
 
 
+def _generic_episode(solver, env: Env, episode_length: int,
+                     shard_particles):
+    """Episode scan dispatching through make_solve_fn, so every solver
+    family (Gaussian, PFMPC, Reinforce, SoftQ, RSNN) shards the same way
+    (evaluate_episode only covers the GaussianMPC family)."""
+    solve = make_solve_fn(solver, env, shard_particles=shard_particles)
+
+    def episode(env_params, key):
+        env_key, solver_key = jax.random.split(key)
+        env_state = env.init(env_params, env_key)
+        solver_state = solver.init_state(solver_key)
+
+        def step_fn(carry, _):
+            env_state, solver_state = carry
+            action, value, solver_state = solve(env_params, env_state,
+                                                solver_state)
+            action = env.clip_action(action)
+            env_state, obs, reward, done = env.step(env_params, env_state,
+                                                    action)
+            succ = (env.success(env_params, env_state)
+                    if env.success is not None else jnp.array(False))
+            return (env_state, solver_state), dict(
+                reward=reward, action=action, value=value, done=done,
+                success=succ)
+
+        (_, _), out = jax.lax.scan(step_fn, (env_state, solver_state),
+                                   None, length=episode_length)
+        return out
+
+    return episode
+
+
 def build_sharded_episode_fn(solver, env: Env, episode_length: int,
-                             mesh: Optional[Mesh] = None, calc_val: bool = False):
+                             mesh: Optional[Mesh] = None):
     """Full MPC-in-the-loop episode, jitted with the particle axis sharded.
 
     The per-step solve's N-particle rollout spreads over the mesh; the
     episode scan itself is sequential (control is causal).
     """
     mesh = mesh or make_mesh()
-    if isinstance(solver, PFMPC):
-        raise NotImplementedError(
-            "episode-level jit for PFMPC: use build_sharded_solve_fn per step")
-    episode = evaluate_episode(solver, env, episode_length, calc_val=calc_val,
-                               shard_particles=_particle_constraint(mesh))
+    episode = _generic_episode(solver, env, episode_length,
+                               _particle_constraint(mesh))
     repl = NamedSharding(mesh, P())
     return jax.jit(episode, in_shardings=(repl, repl), out_shardings=repl)
 
 
 def build_batch_episode_fn(solver, env: Env, episode_length: int,
-                           mesh: Optional[Mesh] = None, calc_val: bool = False):
+                           mesh: Optional[Mesh] = None):
     """B independent episodes in parallel: vmap over episode keys, the batch
     axis sharded over the mesh's 'episodes' axis (the reference's
     n_episodes loop / job_script sweep cells, run simultaneously).
@@ -89,8 +116,8 @@ def build_batch_episode_fn(solver, env: Env, episode_length: int,
     Returns jitted batch(env_params, keys [B]) -> dict of [B, T, ...].
     """
     mesh = mesh or make_mesh()
-    episode = evaluate_episode(solver, env, episode_length, calc_val=calc_val,
-                               shard_particles=_particle_constraint(mesh))
+    episode = _generic_episode(solver, env, episode_length,
+                               _particle_constraint(mesh))
     batched = jax.vmap(episode, in_axes=(None, 0))
     repl = NamedSharding(mesh, P())
     keys_sh = NamedSharding(mesh, P(EPISODES_AXIS))

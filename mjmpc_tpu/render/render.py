@@ -53,7 +53,7 @@ def _render_pendulum(env, state_t, ax):
 
 def _render_cartpole(env, state_t, ax):
     x = float(np.asarray(state_t.x))
-    th = float(np.asarray(state_t.th))
+    th = float(np.asarray(state_t.theta))
     ax.add_patch(plt.Rectangle((x - 0.2, -0.1), 0.4, 0.2, color="gray"))
     ax.plot([x, x + np.sin(th)], [0, np.cos(th)], "-o",
             color="tab:blue", linewidth=3)
@@ -62,10 +62,18 @@ def _render_cartpole(env, state_t, ax):
 
 
 def _render_point(env, state_t, ax):
-    x = np.asarray(state_t.x)
+    # LQRState carries .x; PointMassState and MazeState carry .pos
+    x = np.asarray(getattr(state_t, "x", getattr(state_t, "pos", None)))
     ax.plot([x[0]], [x[1] if x.shape[0] > 1 else 0.0], "o",
             color="tab:blue", markersize=10)
-    ax.plot([0], [0], "g*", markersize=14)
+    goal = getattr(state_t, "goal", None)
+    g = np.asarray(goal) if goal is not None else np.zeros(2)
+    ax.plot([g[0]], [g[1]], "g*", markersize=14)
+    obstacles = getattr(env.params, "obstacles", None)
+    if obstacles is not None:
+        for ox, oy, orad in np.asarray(obstacles):
+            ax.add_patch(plt.Circle((ox, oy), orad, color="gray",
+                                    alpha=0.5))
     ax.set_xlim(-3, 3)
     ax.set_ylim(-3, 3)
 
@@ -97,6 +105,8 @@ _RENDERERS: Dict[str, Callable] = {
                                                       plane=(0, 2)),
     "acrobot-v0": lambda e, s, ax: _render_planar(e, s, ax, plane=(0, 2),
                                                   span=2.2),
+    "maze-v0": _render_point,
+    "continual_maze-v0": _render_point,
 }
 
 SUPPORTED = sorted(_RENDERERS)

@@ -49,23 +49,31 @@ class SACMPC:
 
     def _build_solver(self):
         env, sac = self.env, self.sac
-        sac_params_ref = lambda: self.sac_params
 
-        def q_fn(obs, acts):
-            # MPPIQ consumes costs: negate the SAC state-action value.
-            flat_obs = obs.reshape(-1, env.d_obs)
-            flat_act = acts.reshape(-1, env.d_action)
-            q = sac.critic.min_q(self._solver_q_params, flat_obs, flat_act)
-            return -q.reshape(obs.shape[:-1])
-
-        self.solver = solvers.MPPIQ(
+        base = solvers.MPPIQ(
             d_action=env.d_action, horizon=self.horizon,
             num_particles=self.num_particles, beta=self.beta,
             td_lam=self.td_lam, gamma=self.gamma, init_cov=self.init_cov,
             step_size=0.55, filter_coeffs=(0.25, 0.8, 0.0),
-            base_action="repeat", q_fn=q_fn)
-        self._solve = jax.jit(solvers.make_solve_fn(self.solver, env))
-        self._solver_q_params = self.sac_params.q
+            base_action="repeat")
+        self.solver = base
+
+        # The live Q params must be an ARGUMENT of the jitted solve — a
+        # q_fn closing over self.* would be baked in as a constant at
+        # trace time and SAC updates would never reach the planner.
+        def solve_with_q(env_params, env_state, solver_state, q_params):
+            def q_fn(obs, acts):
+                # MPPIQ consumes costs: negate the SAC state-action value.
+                q = sac.critic.min_q(q_params,
+                                     obs.reshape(-1, env.d_obs),
+                                     acts.reshape(-1, env.d_action))
+                return -q.reshape(obs.shape[:-1])
+            solver = dataclasses.replace(base, q_fn=q_fn)
+            return solvers.make_solve_fn(solver, env)(
+                env_params, env_state, solver_state)
+
+        self._solve = jax.jit(solve_with_q)
+        self._env_step = jax.jit(env.step)
         self._key, sk = jax.random.split(self._key)
         self.solver_state = self.solver.init_state(sk)
 
@@ -79,10 +87,10 @@ class SACMPC:
         obs = np.asarray(env.observe(env.params, env_state))
         t = 0
         for step in range(n_steps):
-            self._solver_q_params = self.sac_params.q
             action, _, self.solver_state = self._solve(
-                env.params, env_state, self.solver_state)
-            env_state, next_obs, reward, done = jax.jit(env.step)(
+                env.params, env_state, self.solver_state,
+                self.sac_params.q)
+            env_state, next_obs, reward, done = self._env_step(
                 env.params, env_state, action)
             next_obs = np.asarray(next_obs)
             self.memory.push(obs, np.asarray(action), float(reward),

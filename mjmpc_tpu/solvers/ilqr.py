@@ -15,8 +15,15 @@ REAL iLQR falls out of jax.jacfwd:
   in parallel — pick the best rollout, a TPU-friendly alternative to a
   sequential while-loop).
 
-State cost is obtained by differentiating the env's own reward, so any
-registered env works unmodified.
+State cost is obtained by differentiating the env's own reward.
+
+Scope: intended for SMOOTH analytic envs (LQR — where it is exact against
+finite-horizon DP — pendulum, cartpole, point_mass, maze). Engine-backed
+envs compose three AD levels (hessian over the engine's jvp/grad bias)
+giving very long compiles, and L1-shaped rewards / joint-limit
+projections violate the C² assumption vanilla iLQR needs; use the
+sampling controllers there (they are also what the reference runs on
+those tasks).
 """
 from __future__ import annotations
 
@@ -39,21 +46,33 @@ class ILQRState(NamedTuple):
 
 
 def _ravel_spec(state):
+    """Flatten ONLY the floating-point leaves into the differentiable
+    state vector; integer/PRNG-key leaves (timesteps, goal keys) are held
+    fixed during planning — casting them through f32 would corrupt uint32
+    keys and inject silently-zero Jacobian columns."""
     leaves, treedef = jax.tree_util.tree_flatten(state)
+    is_diff = [jnp.issubdtype(jnp.result_type(x), jnp.floating)
+               for x in leaves]
     sizes = [int(np.prod(jnp.shape(x))) for x in leaves]
     shapes = [jnp.shape(x) for x in leaves]
     dtypes = [jnp.result_type(x) for x in leaves]
+    frozen = [jnp.asarray(x) for x, d in zip(leaves, is_diff) if not d]
 
     def ravel(s):
         ls = jax.tree_util.tree_leaves(s)
-        return jnp.concatenate([jnp.ravel(x).astype(jnp.float32)
-                                for x in ls]) if ls else jnp.zeros((0,))
+        fl = [jnp.ravel(x).astype(jnp.float32)
+              for x, d in zip(ls, is_diff) if d]
+        return jnp.concatenate(fl) if fl else jnp.zeros((0,))
 
     def unravel(vec):
-        out, off = [], 0
-        for size, shape, dt in zip(sizes, shapes, dtypes):
-            out.append(vec[off:off + size].reshape(shape).astype(dt))
-            off += size
+        out, off, fi = [], 0, 0
+        for size, shape, dt, d in zip(sizes, shapes, dtypes, is_diff):
+            if d:
+                out.append(vec[off:off + size].reshape(shape).astype(dt))
+                off += size
+            else:
+                out.append(frozen[fi])
+                fi += 1
         return jax.tree_util.tree_unflatten(treedef, out)
 
     return ravel, unravel

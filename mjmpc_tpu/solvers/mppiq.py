@@ -37,13 +37,14 @@ class MPPIQ(GaussianMPC):
         if qvals is None:
             qvals = jnp.zeros_like(costs)
             qvals = qvals.at[:, -1].set(costs[:, -1])
-        td_errors = costs[:, :-1] + self.gamma * qvals[:, 1:] - qvals[:, :-1]
         if self.horizon == 1:
-            weight_seq = np.array([[1.0]])
-        else:
-            weight_seq = np.cumprod(
-                [1.0] + [self.gamma * self.td_lam] * (self.horizon - 2)
-            ).reshape(1, self.horizon - 1)
+            # no TD errors at H=1: the blended return IS the terminal
+            # q estimate (= the terminal cost when no Q is plugged in)
+            return qvals
+        td_errors = costs[:, :-1] + self.gamma * qvals[:, 1:] - qvals[:, :-1]
+        weight_seq = np.cumprod(
+            [1.0] + [self.gamma * self.td_lam] * (self.horizon - 2)
+        ).reshape(1, self.horizon - 1)
         q_lam_minus_q = ops.cost_to_go(td_errors, weight_seq)
         q_lam = qvals[:, :-1] + self.td_lam * q_lam_minus_q
         return jnp.concatenate([q_lam, qvals[:, -1:]], axis=1)

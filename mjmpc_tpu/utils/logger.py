@@ -51,10 +51,17 @@ class LoggerClass:
                 header = rows[0][1:]  # drop index col
                 cols = list(zip(*[r[1:] for r in rows[1:]])) or [
                     () for _ in header]
-                self._tabular = {
-                    k: [float(x) if x not in ("", "nan") else math.nan
-                        for x in v]
-                    for k, v in zip(header, cols)}
+
+                def parse(x):
+                    if x in ("", "nan"):
+                        return math.nan
+                    try:
+                        return float(x)
+                    except ValueError:
+                        return x  # non-numeric cell (e.g. a list dump)
+
+                self._tabular = {k: [parse(x) for x in v]
+                                 for k, v in zip(header, cols)}
                 if self._tabular:
                     self._num_dump_tabular_calls = len(
                         next(iter(self._tabular.values())))

@@ -79,6 +79,11 @@ def _register_deferred():
         _REGISTRY.setdefault("continual_maze-v0", maze.make_continual)
     except ImportError:
         pass
+    try:
+        from . import trajopt_reacher
+        _REGISTRY.setdefault("trajopt_reacher-v0", trajopt_reacher.make)
+    except ImportError:
+        pass
 
 
 _register_deferred()

@@ -73,3 +73,14 @@ def test_guard_finite_recovers_from_nan():
     plain = jax.jit(solve)(env.params, est, good)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(plain[0]),
                                rtol=1e-6)
+
+
+def test_trajopt_reacher_mpc_reaches():
+    env = envs.make("trajopt_reacher-v0")
+    solver = solvers.MPPI(d_action=2, horizon=32, num_particles=128,
+                          lam=0.01, init_cov=3.0, step_size=0.55,
+                          gamma=1.0, filter_coeffs=(0.25, 0.8, 0.0),
+                          base_action="repeat")
+    ep = jax.jit(solvers.evaluate_episode(solver, env, 100))
+    out = ep(env.params, jax.random.PRNGKey(0))
+    assert np.asarray(out["success"]).sum() > 10  # episode-level success

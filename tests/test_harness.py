@@ -175,3 +175,24 @@ def test_run_mpc_cli(tmp_path):
         found_csv |= any(f.endswith(".csv") for f in files)
         found_npz |= any(f.endswith(".npz") for f in files)
     assert found_csv and found_npz
+
+
+def test_dynamics_randomization_analytic_params():
+    """Direct 'params' field paths randomize analytic envs (pendulum mass)."""
+    env = envs.make("SimplePendulum-v0")
+    spec = {"params": {"m": [0.2, 0.5]}}
+    new_env, defaults, randomized = envs.randomize_dynamics(env, spec,
+                                                            base_seed=3)
+    m0 = float(defaults["params"]["m"])
+    m1 = float(randomized["params"]["m"])
+    assert m0 == 1.0
+    assert 1.5 * 0.8 <= m1 <= 1.5 * 1.2 and m1 != m0
+    assert float(new_env.params.m) == pytest.approx(m1)
+    # dynamics actually differ under the perturbed params
+    s = env.init(env.params, jax.random.PRNGKey(0))
+    a = jnp.array([1.0])
+    _, _, r_nom, _ = env.step(env.params, s, a)
+    _, _, r_rand, _ = new_env.step(new_env.params, s, a)
+    s1n, *_ = env.step(env.params, s, a)
+    s1r, *_ = new_env.step(new_env.params, s, a)
+    assert float(s1n.thdot) != float(s1r.thdot)

@@ -116,23 +116,27 @@ def forward_kinematics(model: ChainModel, q: jax.Array):
     # metadata, so branching and hinge/slide selection happen at trace
     # time and the whole kinematics fuses into one XLA computation — a
     # lax.scan here would serialize tiny kernels and dominate latency.
+    # HIGHEST matmul precision: at the TPU default (bf16 passes) the
+    # composed rotations drift ~0.2% and the error compounds through the
+    # mass matrix, AD bias, and every integration substep.
     n = model.n_joints
     eye = jnp.eye(3, dtype=q.dtype)
     zero = jnp.zeros(3, q.dtype)
     rots, poss = [], []
-    for i in range(n):
-        pi = model.parent[i]
-        r_p = eye if pi < 0 else rots[pi]
-        p_p = zero if pi < 0 else poss[pi]
-        axis = model.joint_axis[i]
-        if model.joint_types[i] == "slide":
-            p = p_p + r_p @ (model.body_pos[i] + axis * q[i])
-            r = r_p
-        else:
-            p = p_p + r_p @ model.body_pos[i]
-            r = r_p @ _rodrigues(axis, q[i])
-        rots.append(r)
-        poss.append(p)
+    with jax.default_matmul_precision("highest"):
+        for i in range(n):
+            pi = model.parent[i]
+            r_p = eye if pi < 0 else rots[pi]
+            p_p = zero if pi < 0 else poss[pi]
+            axis = model.joint_axis[i]
+            if model.joint_types[i] == "slide":
+                p = p_p + r_p @ (model.body_pos[i] + axis * q[i])
+                r = r_p
+            else:
+                p = p_p + r_p @ model.body_pos[i]
+                r = r_p @ _rodrigues(axis, q[i])
+            rots.append(r)
+            poss.append(p)
     return jnp.stack(rots), jnp.stack(poss)
 
 
@@ -151,9 +155,12 @@ def mass_matrix(model: ChainModel, q: jax.Array) -> jax.Array:
     with a static mask (compiler-friendly — no ragged loops).
     """
     n = model.n_joints
+    prec = jax.lax.Precision.HIGHEST
     rots, poss = forward_kinematics(model, q)
-    axes_w = jnp.einsum("nij,nj->ni", rots, model.joint_axis)   # [n,3]
-    coms_w = poss + jnp.einsum("nij,nj->ni", rots, model.com)   # [n,3]
+    axes_w = jnp.einsum("nij,nj->ni", rots, model.joint_axis,
+                        precision=prec)                          # [n,3]
+    coms_w = poss + jnp.einsum("nij,nj->ni", rots, model.com,
+                               precision=prec)                   # [n,3]
 
     # mask[i, k] = 1 iff joint k is on body i's path to the root — a
     # static constant of the topology (tree-aware lower-triangularity).
@@ -169,9 +176,11 @@ def mass_matrix(model: ChainModel, q: jax.Array) -> jax.Array:
         * mask[..., None]
     jw = (1.0 - slide) * axes_b * mask[..., None]
 
-    iw = jnp.einsum("nab,nbc,ndc->nad", rots, model.inertia, rots)  # [n,3,3]
-    m_lin = jnp.einsum("n,nka,nla->kl", model.mass, jv, jv)
-    m_ang = jnp.einsum("nka,nab,nlb->kl", jw, iw, jw)
+    iw = jnp.einsum("nab,nbc,ndc->nad", rots, model.inertia, rots,
+                    precision=prec)                              # [n,3,3]
+    m_lin = jnp.einsum("n,nka,nla->kl", model.mass, jv, jv,
+                       precision=prec)
+    m_ang = jnp.einsum("nka,nab,nlb->kl", jw, iw, jw, precision=prec)
     return m_lin + m_ang
 
 
@@ -183,7 +192,8 @@ def potential_energy(model: ChainModel, q: jax.Array) -> jax.Array:
     """V(q) = -Σ m_i g·c_i(q) (zero when model.gravity is zero, as in the
     reference arm model: sawyer.xml <option gravity="0 0 0">)."""
     rots, poss = forward_kinematics(model, q)
-    coms_w = poss + jnp.einsum("nij,nj->ni", rots, model.com)
+    coms_w = poss + jnp.einsum("nij,nj->ni", rots, model.com,
+                               precision=jax.lax.Precision.HIGHEST)
     return -jnp.sum(model.mass * (coms_w @ model.gravity))
 
 

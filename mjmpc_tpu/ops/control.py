@@ -49,11 +49,15 @@ def cost_to_go(cost_seq: jax.Array, gamma_seq) -> jax.Array:
     divided by gamma_seq (control_utils.py:37-46) — numerically fragile
     (gamma^t underflow in the division) and zero-gamma needs a branch.
     Here it is one [.., H] @ [H, H] contraction against the discount
-    matrix: an MXU matmul, exact at gamma=0, and fused by XLA into the
-    surrounding solve.
+    matrix, exact at gamma=0 and fused by XLA into the surrounding solve.
+
+    HIGHEST precision is mandatory: at the TPU's default matmul precision
+    (bf16 passes) this contraction errs by O(1) on realistic cost scales
+    and even gamma=0 is no longer a passthrough — softmax weights,
+    elite top-k, and argmin selections all read these values.
     """
     m = discount_matrix(gamma_seq).astype(cost_seq.dtype)
-    return cost_seq @ m
+    return jnp.matmul(cost_seq, m, precision=jax.lax.Precision.HIGHEST)
 
 
 def scale_ctrl(ctrl: jax.Array, action_lows: jax.Array, action_highs: jax.Array,

@@ -198,7 +198,7 @@ def guard_finite(solve, solver):
     def guarded(env_params, env_state, solver_state):
         action, value, new_state = solve(env_params, env_state,
                                          solver_state)
-        leaves = jax.tree_util.tree_leaves((action, new_state))
+        leaves = jax.tree_util.tree_leaves((action, value, new_state))
         ok = jnp.array(True)
         for leaf in leaves:
             if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):

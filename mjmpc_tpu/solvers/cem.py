@@ -27,7 +27,9 @@ class CEM(GaussianMPC):
 
     @property
     def num_elite(self) -> int:
-        return int(self.num_particles * self.elite_frac)
+        # floor at 1: int(N * frac) == 0 for small N would select an
+        # empty elite set whose mean/var are NaN (silent under jit)
+        return max(1, int(self.num_particles * self.elite_frac))
 
     def update(self, state: GaussianState, traj: Trajectories) -> GaussianState:
         q = ops.cost_to_go(traj.costs, self.gamma_seq)[:, 0]

@@ -107,9 +107,10 @@ class ILQR:
 
 def build_solve_fn(solver: ILQR, env: Env, shard_particles=None):
     """solve(env_params, env_state, ILQRState) -> (action, value, state)."""
+    from .. import ops
     h, da = solver.horizon, solver.d_action
-    gamma_pow = jnp.asarray(
-        np.cumprod([1.0] + [solver.gamma] * (h - 1)), jnp.float32)
+    gamma_pow = jnp.asarray(ops.gamma_sequence(solver.gamma, h).ravel(),
+                            jnp.float32)
 
     def solve(env_params, env_state, state: ILQRState):
         ravel, unravel = _ravel_spec(env_state)
@@ -128,10 +129,6 @@ def build_solve_fn(solver: ILQR, env: Env, shard_particles=None):
             _, (xs, cs) = jax.lax.scan(body, x0, us)
             return xs, cs                        # xs[t] is pre-step state
 
-        def total_cost(us):
-            _, cs = rollout(us)
-            return jnp.sum(gamma_pow * cs)
-
         def one_iteration(us, _):
             xs, cs = rollout(us)
 
@@ -142,19 +139,25 @@ def build_solve_fn(solver: ILQR, env: Env, shard_particles=None):
                 cu = jax.grad(lambda uu: f(x, uu)[1])(u)
                 cxx = jax.hessian(lambda xx: f(xx, u)[1])(x)
                 cuu = jax.hessian(lambda uu: f(x, uu)[1])(u)
-                return a, b, cx, cu, cxx, cuu
+                # cost cross-Hessian d2c/(du dx) — without it Qux is wrong
+                # for any cost coupling state and action
+                cux = jax.jacfwd(
+                    lambda xx: jax.grad(lambda uu: f(xx, uu)[1])(u))(x)
+                return a, b, cx, cu, cxx, cuu, cux
 
-            a_s, b_s, cx, cu, cxx, cuu = jax.vmap(linearize)(xs, us)
+            a_s, b_s, cx, cu, cxx, cuu, cux = jax.vmap(linearize)(xs, us)
 
-            # Backward Riccati pass with LM regularization.
+            # Backward Riccati pass with LM regularization. Per-step cost
+            # derivatives are scaled by gamma^t so the quadratic model
+            # matches the DISCOUNTED objective the line search scores.
             def back(carry, inp):
                 vx, vxx = carry
-                a, b, cx_t, cu_t, cxx_t, cuu_t = inp
-                qx = cx_t + a.T @ vx
-                qu = cu_t + b.T @ vx
-                qxx = cxx_t + a.T @ vxx @ a
-                quu = cuu_t + b.T @ vxx @ b + solver.mu * jnp.eye(da)
-                qux = b.T @ vxx @ a
+                a, b, cx_t, cu_t, cxx_t, cuu_t, cux_t, g_t = inp
+                qx = g_t * cx_t + a.T @ vx
+                qu = g_t * cu_t + b.T @ vx
+                qxx = g_t * cxx_t + a.T @ vxx @ a
+                quu = g_t * cuu_t + b.T @ vxx @ b + solver.mu * jnp.eye(da)
+                qux = g_t * cux_t + b.T @ vxx @ a
                 chol = jnp.linalg.cholesky(
                     quu + 1e-6 * jnp.eye(da))
                 k_ff = -jax.scipy.linalg.cho_solve((chol, True), qu)
@@ -168,7 +171,8 @@ def build_solve_fn(solver: ILQR, env: Env, shard_particles=None):
 
             init = (jnp.zeros(dx), jnp.zeros((dx, dx)))
             _, (k_ff, k_fb) = jax.lax.scan(
-                back, init, (a_s, b_s, cx, cu, cxx, cuu), reverse=True)
+                back, init, (a_s, b_s, cx, cu, cxx, cuu, cux, gamma_pow),
+                reverse=True)
 
             # Parallel line search over a static alpha set.
             def forward(alpha):

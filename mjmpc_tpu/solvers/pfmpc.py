@@ -23,6 +23,8 @@ from .. import ops
 from ..envs.base import Env
 from ..rollout.engine import Trajectories, rollout_open_loop
 
+from .base import _fold  # single RNG-derivation point
+
 _TAG_RESAMPLE = 10
 _TAG_SHIFT = 11
 
@@ -33,9 +35,6 @@ class PFState(NamedTuple):
     step: jax.Array            # int32
     key: jax.Array
 
-
-def _fold(key, tag, step):
-    return jax.random.fold_in(jax.random.fold_in(key, tag), step)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -24,6 +24,8 @@ from ..envs.base import Env
 from ..models.mlp import MLPPolicy
 from ..rollout.engine import Trajectories, rollout_closed_loop_policy
 
+from .base import _fold  # single RNG-derivation point
+
 _TAG_ROLLOUT = 40
 
 
@@ -33,9 +35,6 @@ class RSNNState(NamedTuple):
     step: jax.Array
     key: jax.Array
 
-
-def _fold(key, tag, step):
-    return jax.random.fold_in(jax.random.fold_in(key, tag), step)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -38,6 +38,8 @@ from ..envs.base import Env
 from ..rollout.engine import Trajectories, rollout_closed_loop_linear
 from ..value_functions import make_vf
 
+from .base import _fold  # single RNG-derivation point
+
 _TAG_ROLLOUT = 20
 _TAG_ACT = 21
 
@@ -51,9 +53,6 @@ class ReinforceState(NamedTuple):
     step: jax.Array
     key: jax.Array
 
-
-def _fold(key, tag, step):
-    return jax.random.fold_in(jax.random.fold_in(key, tag), step)
 
 
 @dataclasses.dataclass(frozen=True)

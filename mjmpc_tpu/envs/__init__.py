@@ -84,6 +84,12 @@ def _register_deferred():
         _REGISTRY.setdefault("trajopt_reacher-v0", trajopt_reacher.make)
     except ImportError:
         pass
+    try:
+        from . import panda_tasks
+        _REGISTRY.setdefault("panda_tray_glass-v0", panda_tasks.make)
+        _REGISTRY.setdefault("panda_reacher-v0", reacher_7dof.make)
+    except ImportError:
+        pass
 
 
 _register_deferred()

@@ -1,0 +1,153 @@
+"""Panda task family: tray-glass balancing.
+
+The reference's panda configs (examples/configs/panda/tray_glass*.yml,
+reacher.yml — external mj_envs tasks) center on carrying a glass on a
+wrist-mounted tray to a target without letting it slide off. Re-designed
+on the in-repo engine: the 7-DOF arm carries a tray at the wrist; the
+glass is a free body whose two slide joints are PARENTED TO THE WRIST
+(the kinematic-forest parent table), so it lives in the tray's local
+plane. Slide-joint damping models tray friction; tilting the tray
+gravity-loads the glass through the same generalized dynamics.
+
+- reward: reach the target with the tray center while keeping the glass
+  near the tray center; a large penalty applies once the glass leaves
+  the tray radius (it 'falls off').
+- success: tray within 7.5 cm of target AND glass still on the tray.
+
+The biased-model variant (tray_glass-v1_biased_model.yml upstream) is
+expressed with sim_env_name / dynamics randomization on glass mass.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine import chain as rb
+from .base import Env
+from .randomize import register_names
+from .reacher_7dof import _BODIES as _ARM_BODIES, _FRAME_SKIP, _DT, \
+    BODY_NAMES as _ARM_BODY_NAMES, JOINT_NAMES as _ARM_JOINT_NAMES
+
+_N_ARM = 7
+_TRAY_R = 0.12
+_GLASS_R = 0.03
+_G = (0.0, 0.0, -9.81)
+
+
+class TrayGlassParams(NamedTuple):
+    model: rb.ChainModel
+    arm_model: rb.ChainModel   # glass massless: arm-only gravity load
+    fall_penalty: jax.Array
+
+
+class TrayGlassState(NamedTuple):
+    qpos: jax.Array     # [9] = 7 arm + glass (tray-local x, y)
+    qvel: jax.Array
+    target: jax.Array   # [3] tray goal position
+    timestep: jax.Array
+
+
+def build_model() -> rb.ChainModel:
+    bodies = list(_ARM_BODIES) + [
+        # glass slides in the wrist/tray local x-y plane; the slide range
+        # is generous — falling off is handled by the reward, the hard
+        # range only stops runaway coordinates
+        dict(pos=(0.03, 0.0, 0.09), axis=(1, 0, 0), type="slide",
+             range=(-0.5, 0.5), parent=6, damping=0.6, geoms=[]),
+        dict(pos=(0, 0, 0), axis=(0, 1, 0), type="slide",
+             range=(-0.5, 0.5), parent=_N_ARM, damping=0.6,
+             geoms=[rb.capsule_geom(_GLASS_R, (0, 0, 0, 0, 0, 0.1))]),
+    ]
+    return rb.build_chain(bodies, dt=_DT, site_body=6,
+                          site_pos=(0.03, 0.0, 0.09), gravity=_G)
+
+
+def _tray_and_glass(model, q):
+    rots, poss = rb.forward_kinematics(model, q)
+    tray = poss[6] + rots[6] @ jnp.asarray(model.site_pos)
+    glass = poss[_N_ARM + 1]
+    return tray, glass
+
+
+_ARM_MASK = jnp.concatenate([jnp.ones(_N_ARM), jnp.zeros(2)])
+
+
+def _gravity_compensation(params: TrayGlassParams):
+    """Payload-calibrated gravity feedforward on the ARM joints (standard
+    industrial compensation): cancels the configuration-dependent weight
+    load — including holding the glass — so the motors shape MOTION. The
+    glass's own slide DOFs are NOT compensated: tray tilt still makes it
+    slide downhill, which is the control problem."""
+    full = params.model
+
+    def fn(_, q, qd):
+        comp = jax.grad(lambda qq: rb.potential_energy(full, qq))(q)
+        return comp * _ARM_MASK
+
+    return fn
+
+
+def _init(params: TrayGlassParams, key: jax.Array) -> TrayGlassState:
+    kt, _ = jax.random.split(key)
+    # targets in the arm's natural workspace around the tray's home pose
+    target = jax.random.uniform(kt, (3,), jnp.float32,
+                                jnp.array([0.3, -0.85, -0.1]),
+                                jnp.array([0.8, -0.35, 0.3]))
+    return TrayGlassState(qpos=jnp.zeros(9), qvel=jnp.zeros(9),
+                          target=target, timestep=jnp.array(0, jnp.int32))
+
+
+def _observe(params, state):
+    tray, glass = _tray_and_glass(params.model, state.qpos)
+    return jnp.concatenate([
+        state.qpos, state.qvel, tray - state.target, glass - tray])
+
+
+def _glass_offset(state):
+    return jnp.linalg.norm(state.qpos[_N_ARM:_N_ARM + 2])
+
+
+def _step(params: TrayGlassParams, state: TrayGlassState,
+          action: jax.Array):
+    ctrl = jnp.concatenate([jnp.clip(action, -1.0, 1.0), jnp.zeros(2)])
+    qpos, qvel = rb.step(params.model, state.qpos, state.qvel, ctrl,
+                         n_substeps=_FRAME_SKIP,
+                         ext_force_fn=_gravity_compensation(params))
+    new = state._replace(qpos=qpos, qvel=qvel,
+                         timestep=state.timestep + 1)
+    tray, _ = _tray_and_glass(params.model, qpos)
+    reach = jnp.linalg.norm(tray - state.target)
+    slide = _glass_offset(new)
+    off_tray = slide > _TRAY_R
+    reward = (-reach - 2.0 * slide
+              - jnp.where(off_tray, params.fall_penalty, 0.0))
+    return new, _observe(params, new), reward, jnp.array(False)
+
+
+def _success(params, state):
+    tray, _ = _tray_and_glass(params.model, state.qpos)
+    return (jnp.linalg.norm(tray - state.target) < 0.075) \
+        & (_glass_offset(state) < _TRAY_R)
+
+
+def make() -> Env:
+    model = build_model()
+    arm_model = model._replace(
+        mass=model.mass.at[_N_ARM:].set(1e-6))
+    params = TrayGlassParams(model=model, arm_model=arm_model,
+                             fall_penalty=jnp.float32(5.0))
+    return Env(name="panda_tray_glass-v0", d_obs=9 + 9 + 3 + 3,
+               d_action=7,
+               action_lows=np.full(7, -1.0, np.float32),
+               action_highs=np.full(7, 1.0, np.float32),
+               params=params, init=_init, step=_step, observe=_observe,
+               success=_success, max_episode_steps=100)
+
+
+# name tables for dynamics randomization (glass mass/damping by name)
+register_names("panda_tray_glass-v0",
+               _ARM_BODY_NAMES + ["glass_x", "glass"],
+               _ARM_JOINT_NAMES + ["glass_slide_x", "glass_slide_y"])

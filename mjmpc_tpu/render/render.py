@@ -107,6 +107,14 @@ _RENDERERS: Dict[str, Callable] = {
                                                   span=2.2),
     "maze-v0": _render_point,
     "continual_maze-v0": _render_point,
+    "sawyer_reacher-v0": _render_reacher,
+    "sawyer_pusher-v0": _render_reacher,
+    "sawyer_door-v0": _render_reacher,
+    "sawyer_peg_insertion-v0": _render_reacher,
+    "panda_reacher-v0": _render_reacher,
+    "panda_tray_glass-v0": _render_reacher,
+    "trajopt_reacher-v0": lambda e, s, ax: _render_planar(
+        e, s, ax, plane=(0, 1), span=0.3),
 }
 
 SUPPORTED = sorted(_RENDERERS)

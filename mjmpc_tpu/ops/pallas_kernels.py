@@ -180,3 +180,106 @@ def pendulum_rollout_pallas(params, th0, thdot0, mean: jax.Array,
         interpret=_interpret(),
     )(state, mean, noise_t)
     return jnp.transpose(costs, (1, 0))[:n]
+
+
+# ---------------------------------------------------------------------------
+# Whole-solve kernel: one MPPI solve for the pendulum in a single Pallas
+# call — noise, rollout, cost-to-go, softmax weights, and the mean update
+# never leave VMEM. (alpha=1, non-time-based weights: the tuned
+# README configuration.)
+#
+# MEASURED NEGATIVE RESULT (kept as a documented demonstrator): at
+# N=2048, H=32 on v5e this single-program kernel runs ~4x SLOWER than
+# the XLA multi-op solve (1330 us vs 316 us). One grid cell means no
+# pipelining, the hand-written Box-Muller costs more than XLA's fused
+# threefry, and the 32 sequential lane-reductions in the mean update
+# serialize on the VPU. The XLA path stays the production default —
+# exactly the "let XLA fuse" rule of the TPU playbook; this kernel
+# documents where the crossover is NOT.
+# ---------------------------------------------------------------------------
+
+def _mppi_solve_kernel(seed_ref, state_ref, mean_ref, out_ref, costs_ref, *,
+                       horizon: int, n: int, coeffs, sigma: float,
+                       lam: float, step_size: float, gamma: float,
+                       g: float, m: float, l: float, dt: float,
+                       max_speed: float, max_torque: float):
+    # 1. noise: on-chip PRNG -> standard normal -> AR(2) -> scale
+    pltpu.prng_seed(seed_ref[0])
+    z = _standard_normal((horizon, n))
+    b0, b1, b2 = coeffs
+    if (b0, b1, b2) != (1.0, 0.0, 0.0) and horizon > 2:
+        rows = [z[0], z[1]]
+        for t in range(2, horizon):
+            rows.append(b0 * z[t] + b1 * rows[t - 1] + b2 * rows[t - 2])
+        z = jnp.stack(rows)
+    eps = sigma * z
+
+    # 2. rollout + per-step cost (fused pendulum dynamics)
+    th = jnp.broadcast_to(state_ref[0, 0], (n,))
+    thdot = jnp.broadcast_to(state_ref[0, 1], (n,))
+    two_pi = np.float32(2.0 * np.pi)
+    for t in range(horizon):
+        u = jnp.clip(mean_ref[t, 0] + eps[t], -max_torque, max_torque)
+        ang = ((th + np.pi) % two_pi) - np.pi
+        costs_ref[t] = ang * ang + 0.1 * thdot * thdot + 0.001 * u * u
+        thdot = thdot + (-3.0 * g / (2.0 * l) * jnp.sin(th + np.pi)
+                         + 3.0 / (m * l * l) * u) * dt
+        th = th + thdot * dt
+        thdot = jnp.clip(thdot, -max_speed, max_speed)
+
+    # 3. cost-to-go at t=0 (backward recurrence over VMEM rows)
+    acc = costs_ref[horizon - 1]
+    for t in range(horizon - 2, -1, -1):
+        acc = costs_ref[t] + gamma * acc
+
+    # 4. softmax weights over the particle lanes
+    neg = -acc * (1.0 / lam)
+    w = jnp.exp(neg - jnp.max(neg))
+    w = w / jnp.sum(w)
+
+    # 5. step-size-blended weighted-mean update (scalar stores to VMEM are
+    # not allowed: accumulate rows, store the whole [H, 1] block once)
+    rows = []
+    for t in range(horizon):
+        weighted = jnp.sum(w * (mean_ref[t, 0] + eps[t]))
+        rows.append((1.0 - step_size) * mean_ref[t, 0]
+                    + step_size * weighted)
+    out_ref[:] = jnp.stack(rows).reshape(horizon, 1)
+
+
+def mppi_pendulum_solve_pallas(params, th0, thdot0, mean: jax.Array,
+                               seed, num_particles: int,
+                               filter_coeffs=(1.0, 0.0, 0.0),
+                               sigma: float = 1.0, lam: float = 0.01,
+                               step_size: float = 0.55,
+                               gamma: float = 1.0) -> jax.Array:
+    """One full MPPI mean update as a single kernel. mean: [H, 1];
+    returns the new mean [H, 1]. num_particles must keep the [H, N]
+    panels in VMEM (N <= ~8192 at H=32)."""
+    horizon = mean.shape[0]
+    n = _round_up(max(num_particles, 128), 128)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    state = jnp.stack([jnp.asarray(th0, jnp.float32),
+                       jnp.asarray(thdot0, jnp.float32)]).reshape(1, 2)
+
+    kernel = functools.partial(
+        _mppi_solve_kernel, horizon=horizon, n=n,
+        coeffs=tuple(float(c) for c in filter_coeffs),
+        sigma=float(sigma), lam=float(lam), step_size=float(step_size),
+        gamma=float(gamma), g=float(params.g), m=float(params.m),
+        l=float(params.l), dt=float(params.dt),
+        max_speed=float(params.max_speed),
+        max_torque=float(params.max_torque))
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((horizon, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((horizon, n), jnp.float32)],
+        interpret=_interpret(),
+    )(seed_arr, state, mean)

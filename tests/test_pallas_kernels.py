@@ -70,3 +70,26 @@ def test_noise_kernel_cov_coloring():
     flat = eps.reshape(-1, 2)
     emp = np.cov(flat.T)
     np.testing.assert_allclose(emp, [[2.0, 0.5], [0.5, 1.0]], atol=0.1)
+
+
+@requires_tpu
+def test_one_kernel_mppi_solve_controls():
+    """The whole-solve kernel must produce a usable MPPI update: running
+    it closed-loop keeps/brings the pendulum upright."""
+    import jax.numpy as jnp
+    from mjmpc_tpu import envs
+    env = envs.make("SimplePendulum-v0")
+    st = env.init(env.params, jax.random.PRNGKey(1))
+    solve = jax.jit(lambda th, thdot, m, s: pk.mppi_pendulum_solve_pallas(
+        env.params, th, thdot, m, s, 1024, (0.25, 0.8, 0.0),
+        sigma=float(np.sqrt(3.5)), lam=0.01, step_size=0.55))
+    step = jax.jit(env.step)
+    mean = jnp.zeros((32, 1))
+    total = 0.0
+    for t in range(100):
+        mean = solve(st.th, st.thdot, mean, 1000 + t)
+        st, obs, r, d = step(env.params, st,
+                             jnp.clip(mean[0], -2.0, 2.0))
+        total += float(r)
+        mean = jnp.roll(mean, -1, axis=0).at[-1].set(0.0)
+    assert total > -400.0  # swing-up quality, not just finiteness

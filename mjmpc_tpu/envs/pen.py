@@ -93,3 +93,9 @@ def make() -> Env:
                action_highs=np.full(3, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,
                success=_success, max_episode_steps=100)
+
+
+from .randomize import register_names as _register_names  # noqa: E402
+
+_register_names("pen-v0", ["pen_rx", "pen_ry", "pen"],
+                ["pen_hinge_x", "pen_hinge_y", "pen_hinge_z"])

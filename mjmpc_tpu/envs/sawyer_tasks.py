@@ -278,10 +278,14 @@ def _peg_step(params, state, action):
     new = state._replace(qpos=qpos, qvel=qvel, timestep=state.timestep + 1)
     tip, depth, lateral = _peg_metrics(params, qpos)
     bottom = params.hole_entry + params.hole_depth * params.hole_axis
-    # reach the hole mouth, stay on axis, drive to the bottom
+    # reach the hole mouth, stay on axis, drive to the bottom; the
+    # explicit depth-progress term keeps the gradient alive once the
+    # tip sits at the mouth (plain distance shaping flattens there)
+    inserted = jnp.clip(depth, 0.0, params.hole_depth) \
+        / jnp.maximum(params.hole_depth, 1e-6)
     reward = (-jnp.linalg.norm(tip - bottom)
-              - 5.0 * lateral * jnp.clip(depth, 0.0, None) /
-              jnp.maximum(params.hole_depth, 1e-6))
+              - 5.0 * lateral * inserted
+              + 1.0 * inserted)
     return new, _peg_obs(params, new), reward, jnp.array(False)
 
 

@@ -39,7 +39,6 @@ _G = (0.0, 0.0, -9.81)
 
 class TrayGlassParams(NamedTuple):
     model: rb.ChainModel
-    arm_model: rb.ChainModel   # glass massless: arm-only gravity load
     fall_penalty: jax.Array
 
 
@@ -134,10 +133,7 @@ def _success(params, state):
 
 
 def make() -> Env:
-    model = build_model()
-    arm_model = model._replace(
-        mass=model.mass.at[_N_ARM:].set(1e-6))
-    params = TrayGlassParams(model=model, arm_model=arm_model,
+    params = TrayGlassParams(model=build_model(),
                              fall_penalty=jnp.float32(5.0))
     return Env(name="panda_tray_glass-v0", d_obs=9 + 9 + 3 + 3,
                d_action=7,

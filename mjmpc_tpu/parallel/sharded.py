@@ -63,31 +63,17 @@ def build_sharded_solve_fn(solver, env: Env, mesh: Optional[Mesh] = None,
 
 def _generic_episode(solver, env: Env, episode_length: int,
                      shard_particles):
-    """Episode scan dispatching through make_solve_fn, so every solver
-    family (Gaussian, PFMPC, Reinforce, SoftQ, RSNN) shards the same way
-    (evaluate_episode only covers the GaussianMPC family)."""
-    solve = make_solve_fn(solver, env, shard_particles=shard_particles)
+    """Episode dispatching through make_solve_fn via the shared harness
+    episode scan — every solver family (Gaussian, PFMPC, Reinforce,
+    SoftQ, RSNN) shards the same way, and there is exactly ONE episode
+    loop in the codebase."""
+    from ..harness.episode import build_episode_fn
+    inner = build_episode_fn(solver, env, episode_length,
+                             shard_particles=shard_particles)
 
     def episode(env_params, key):
-        env_key, solver_key = jax.random.split(key)
-        env_state = env.init(env_params, env_key)
-        solver_state = solver.init_state(solver_key)
-
-        def step_fn(carry, _):
-            env_state, solver_state = carry
-            action, value, solver_state = solve(env_params, env_state,
-                                                solver_state)
-            action = env.clip_action(action)
-            env_state, obs, reward, done = env.step(env_params, env_state,
-                                                    action)
-            succ = (env.success(env_params, env_state)
-                    if env.success is not None else jnp.array(False))
-            return (env_state, solver_state), dict(
-                reward=reward, action=action, value=value, done=done,
-                success=succ)
-
-        (_, _), out = jax.lax.scan(step_fn, (env_state, solver_state),
-                                   None, length=episode_length)
+        out, _ = inner(env_params, env_params, key)
+        out.pop("state", None)  # sharded batches don't record states
         return out
 
     return episode

@@ -42,13 +42,16 @@ class ReplayMemory:
 
 class ReplayMemoryTraj:
     """Trajectory-level buffer (reference ReplayMemoryTraj): stores whole
-    rollouts, samples flattened transitions."""
+    rollouts, samples flattened transitions. The flattened view is cached
+    and invalidated on push — re-concatenating the whole buffer per
+    sample would be O(total transitions) per batch."""
 
     def __init__(self, capacity: int, seed: int = 0):
         self.capacity = int(capacity)
         self.rng = np.random.RandomState(seed)
         self.trajs: List[Dict[str, np.ndarray]] = []
         self.position = 0
+        self._flat: Dict[str, np.ndarray] = None
 
     def push(self, traj: Dict[str, np.ndarray]):
         if len(self.trajs) < self.capacity:
@@ -56,13 +59,16 @@ class ReplayMemoryTraj:
         else:
             self.trajs[self.position] = traj
         self.position = (self.position + 1) % self.capacity
+        self._flat = None
 
     def sample(self, batch_size: int) -> Dict[str, np.ndarray]:
-        keys = list(self.trajs[0])
-        cat = {k: np.concatenate([t[k] for t in self.trajs]) for k in keys}
-        n = len(next(iter(cat.values())))
+        if self._flat is None:
+            keys = list(self.trajs[0])
+            self._flat = {k: np.concatenate([t[k] for t in self.trajs])
+                          for k in keys}
+        n = len(next(iter(self._flat.values())))
         idx = self.rng.randint(0, n, size=batch_size)
-        return {k: v[idx] for k, v in cat.items()}
+        return {k: v[idx] for k, v in self._flat.items()}
 
     def __len__(self):
         return len(self.trajs)

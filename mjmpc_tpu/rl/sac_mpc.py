@@ -58,7 +58,7 @@ class SACMPC:
             base_action="repeat")
         self.solver = base
 
-        # The live Q params must be an ARGUMENT of the jitted solve — a
+        # The live Q params must be an ARGUMENT of the jitted step — a
         # q_fn closing over self.* would be baked in as a constant at
         # trace time and SAC updates would never reach the planner.
         def solve_with_q(env_params, env_state, solver_state, q_params):
@@ -73,7 +73,21 @@ class SACMPC:
                 env_params, env_state, solver_state)
 
         self._solve = jax.jit(solve_with_q)
-        self._env_step = jax.jit(env.step)
+
+        # Fused control step: solve + env.step in ONE device program
+        # (CLAUDE.md invariant: no host round trips inside the control
+        # loop) — only the replay-buffer push stays on host.
+        def control_step(env_params, env_state, solver_state, q_params):
+            obs = env.observe(env_params, env_state)
+            action, _, solver_state = solve_with_q(
+                env_params, env_state, solver_state, q_params)
+            action = env.clip_action(action)
+            env_state, next_obs, reward, done = env.step(
+                env_params, env_state, action)
+            return (env_state, solver_state, obs, action, next_obs,
+                    reward)
+
+        self._control_step = jax.jit(control_step)
         self._key, sk = jax.random.split(self._key)
         self.solver_state = self.solver.init_state(sk)
 
@@ -84,19 +98,15 @@ class SACMPC:
         ep_rewards, ep_reward = [], 0.0
         self._key, ek = jax.random.split(self._key)
         env_state = env.init(env.params, ek)
-        obs = np.asarray(env.observe(env.params, env_state))
         t = 0
         for step in range(n_steps):
-            action, _, self.solver_state = self._solve(
+            (env_state, self.solver_state, obs, action, next_obs,
+             reward) = self._control_step(
                 env.params, env_state, self.solver_state,
                 self.sac_params.q)
-            env_state, next_obs, reward, done = self._env_step(
-                env.params, env_state, action)
-            next_obs = np.asarray(next_obs)
-            self.memory.push(obs, np.asarray(action), float(reward),
-                             next_obs, False)
+            self.memory.push(np.asarray(obs), np.asarray(action),
+                             float(reward), np.asarray(next_obs), False)
             ep_reward += float(reward)
-            obs = next_obs
             t += 1
 
             if len(self.memory) >= min_buffer:
@@ -112,6 +122,5 @@ class SACMPC:
                 ep_reward, t = 0.0, 0
                 self._key, ek, sk = jax.random.split(self._key, 3)
                 env_state = env.init(env.params, ek)
-                obs = np.asarray(env.observe(env.params, env_state))
                 self.solver_state = self.solver.init_state(sk)
         return ep_rewards

@@ -100,10 +100,13 @@ def _ext_forces(params: SwimmerParams):
                 v = jax.jvp(world_point, (q,), (qd,))[1]
                 v_par = (v @ axis_w) * axis_w
                 v_perp = v - v_par
+                # saturated quadratic drag: cap the |v| factor so the
+                # stiff high-speed regime cannot overshoot the explicit
+                # substep (drag force stays bounded)
                 f = (-params.drag_perp[li] * 0.5
-                     * jnp.linalg.norm(v_perp) * v_perp
+                     * jnp.minimum(jnp.linalg.norm(v_perp), 4.0) * v_perp
                      - params.drag_par[li] * 0.5
-                     * jnp.linalg.norm(v_par) * v_par)
+                     * jnp.minimum(jnp.linalg.norm(v_par), 4.0) * v_par)
                 tau = tau + rb.point_force_to_generalized(
                     model, q, body, pt, f)
         return tau
@@ -122,6 +125,13 @@ def _observe(params: SwimmerParams, state: SwimmerState) -> jax.Array:
     return jnp.concatenate([state.qpos[2:], state.qvel])
 
 
+# Velocity ceiling: quadratic drag is stiff at speed — beyond this the
+# explicit sub-stepping can overshoot (MuJoCo's implicit fluid solve has
+# no such limit; swimming speeds stay far below it in practice).
+_VEL_LIMIT = jnp.asarray([8.0, 8.0, 25.0, 25.0, 25.0, 25.0, 25.0],
+                         jnp.float32)
+
+
 def _step(params: SwimmerParams, state: SwimmerState, action: jax.Array):
     ctrl = jnp.clip(action, -1.0, 1.0)
     full_ctrl = jnp.concatenate([jnp.zeros(3, ctrl.dtype), ctrl])
@@ -129,6 +139,7 @@ def _step(params: SwimmerParams, state: SwimmerState, action: jax.Array):
     qpos, qvel = rb.step(params.model, state.qpos, state.qvel, full_ctrl,
                          n_substeps=_FRAME_SKIP,
                          ext_force_fn=_ext_forces(params))
+    qvel = jnp.clip(qvel, -_VEL_LIMIT, _VEL_LIMIT)
     new = SwimmerState(qpos=qpos, qvel=qvel)
     reward_fwd = (qpos[0] - x_before) / (_DT * _FRAME_SKIP)
     reward_ctrl = -1e-4 * jnp.sum(ctrl ** 2)

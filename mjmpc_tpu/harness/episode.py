@@ -20,6 +20,29 @@ from .. import solvers
 from ..envs.base import Env
 
 
+def _build_step_fn(solver, env: Env, shard_particles=None,
+                   sim_env: Env = None):
+    """One MPC-in-the-loop control step: (carry, params) -> (carry, out)."""
+    plan_env = sim_env if sim_env is not None else env
+    solve = solvers.make_solve_fn(solver, plan_env,
+                                  shard_particles=shard_particles)
+
+    def step_fn(real_params, sim_params, carry):
+        env_state, solver_state = carry
+        action, value, solver_state = solve(
+            sim_params, env_state, solver_state)
+        action = env.clip_action(action)
+        env_state, obs, reward, done = env.step(
+            real_params, env_state, action)
+        succ = (env.success(real_params, env_state)
+                if env.success is not None else jnp.array(False))
+        return (env_state, solver_state), dict(
+            reward=reward, action=action, value=value, done=done,
+            success=succ, state=env_state)
+
+    return step_fn
+
+
 def build_episode_fn(solver, env: Env, episode_length: int,
                      shard_particles=None, sim_env: Env = None):
     """episode(real_params, sim_params, key) -> dict of [T, ...] arrays.
@@ -29,30 +52,15 @@ def build_episode_fn(solver, env: Env, episode_length: int,
     example_mpc.py:46); the environment advances under real_params via
     env.step. The two envs must share the state pytree structure.
     """
-    plan_env = sim_env if sim_env is not None else env
-    solve = solvers.make_solve_fn(solver, plan_env,
-                                  shard_particles=shard_particles)
+    step_fn = _build_step_fn(solver, env, shard_particles, sim_env)
 
     def episode(real_params, sim_params, key):
         env_key, solver_key = jax.random.split(key)
         env_state = env.init(real_params, env_key)
         solver_state = solver.init_state(solver_key)
-
-        def step_fn(carry, _):
-            env_state, solver_state = carry
-            action, value, solver_state = solve(
-                sim_params, env_state, solver_state)
-            action = env.clip_action(action)
-            env_state, obs, reward, done = env.step(
-                real_params, env_state, action)
-            succ = (env.success(real_params, env_state)
-                    if env.success is not None else jnp.array(False))
-            return (env_state, solver_state), dict(
-                reward=reward, action=action, value=value, done=done,
-                success=succ, state=env_state)
-
         (_, final_solver_state), out = jax.lax.scan(
-            step_fn, (env_state, solver_state), None, length=episode_length)
+            lambda c, _: step_fn(real_params, sim_params, c),
+            (env_state, solver_state), None, length=episode_length)
         return out, final_solver_state
 
     return episode
@@ -60,7 +68,8 @@ def build_episode_fn(solver, env: Env, episode_length: int,
 
 def run_episodes(solver, env: Env, n_episodes: int, episode_length: int,
                  base_seed: int = 123, sim_params=None,
-                 sim_env: Env = None) -> Dict[str, Any]:
+                 sim_env: Env = None,
+                 chunk_size: Optional[int] = None) -> Dict[str, Any]:
     """Batch of episodes with the reference's per-episode seeding
     (episode_seed = base_seed + i*12345, example_mpc.py:146).
 
@@ -70,17 +79,53 @@ def run_episodes(solver, env: Env, n_episodes: int, episode_length: int,
     goal-achieved steps, reacher_env.py:117-125). sim_env/sim_params
     redirect planning to different dynamics (model-mismatch experiments).
     """
-    episode = build_episode_fn(solver, env, episode_length,
-                               sim_env=sim_env)
     if sim_params is None:
         sim_params = (sim_env.params if sim_env is not None
                       else env.params)
 
     keys = jnp.stack([jax.random.PRNGKey(base_seed + i * 12345)
                       for i in range(n_episodes)])
-    batched = jax.jit(jax.vmap(
-        lambda k: episode(env.params, sim_params, k)))
-    out, final_solver_states = batched(keys)
+
+    if chunk_size is None or chunk_size >= episode_length:
+        episode = build_episode_fn(solver, env, episode_length,
+                                   sim_env=sim_env)
+        batched = jax.jit(jax.vmap(
+            lambda k: episode(env.params, sim_params, k)))
+        out, final_solver_states = batched(keys)
+    else:
+        # Chunked execution: one compile unit of `chunk_size` steps,
+        # host-chained. Heavy envs (contact + AD bias + long horizons)
+        # can exceed the remote worker's compile limits as one fused
+        # T-step program; the per-chunk program is T/chunk_size smaller
+        # and carries (env_state, solver_state) exactly.
+        step_fn = _build_step_fn(solver, env, sim_env=sim_env)
+
+        def make_chunk(length):
+            def chunk(carry):
+                return jax.lax.scan(
+                    lambda c, _: step_fn(env.params, sim_params, c),
+                    carry, None, length=length)
+            return jax.jit(jax.vmap(chunk))
+
+        chunk_v = make_chunk(chunk_size)
+        n_full, rem = divmod(episode_length, chunk_size)
+
+        def init_one(key):
+            env_key, solver_key = jax.random.split(key)
+            return (env.init(env.params, env_key),
+                    solver.init_state(solver_key))
+
+        carry = jax.jit(jax.vmap(init_one))(keys)
+        pieces = []
+        for _ in range(n_full):
+            carry, piece = chunk_v(carry)
+            pieces.append(piece)
+        if rem:  # exact remainder: carry parity with the fused program
+            carry, piece = make_chunk(rem)(carry)
+            pieces.append(piece)
+        out = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=1), *pieces)
+        final_solver_states = carry[1]
 
     rewards = np.asarray(out["reward"])          # [B, T]
     successes = np.asarray(out["success"])       # [B, T]

@@ -196,3 +196,23 @@ def test_dynamics_randomization_analytic_params():
     s1n, *_ = env.step(env.params, s, a)
     s1r, *_ = new_env.step(new_env.params, s, a)
     assert float(s1n.thdot) != float(s1r.thdot)
+
+
+def test_run_episodes_chunked_matches_fused():
+    """Chunked execution must produce the same trajectories as the fused
+    single-scan program (same keys, same carry)."""
+    env = envs.make("SimplePendulum-v0")
+    solver = solvers.MPPI(d_action=1, horizon=8, num_particles=16,
+                          lam=0.1, init_cov=1.0)
+    fused = episode.run_episodes(solver, env, 2, 12, base_seed=5)
+    chunked = episode.run_episodes(solver, env, 2, 12, base_seed=5,
+                                   chunk_size=5)
+    np.testing.assert_allclose(chunked["rewards"], fused["rewards"],
+                               rtol=1e-5, atol=1e-6)
+    # chunk boundaries change op fusion -> small float reassociation
+    np.testing.assert_allclose(
+        np.asarray(chunked["final_solver_states"].mean),
+        np.asarray(fused["final_solver_states"].mean), atol=2e-3)
+    np.testing.assert_array_equal(
+        np.asarray(chunked["final_solver_states"].step),
+        np.asarray(fused["final_solver_states"].step))

@@ -42,6 +42,9 @@ def main(argv=None):
                         help="save final solver state")
     parser.add_argument("--dump_vids", action="store_true",
                         help="render episode videos (reference flag)")
+    parser.add_argument("--chunk_size", type=int, default=None,
+                        help="compile the episode in chunks of this many "
+                             "steps (heavy envs at long horizons)")
     args = parser.parse_args(argv)
 
     exp_params = cfg.load_config(args.config)
@@ -82,7 +85,8 @@ def main(argv=None):
             episode_length=exp_params["max_ep_length"],
             base_seed=exp_params["seed"],
             sim_params=sim_params,
-            sim_env=sim_env if sim_env.name != env.name else None)
+            sim_env=sim_env if sim_env.name != env.name else None,
+            chunk_size=args.chunk_size)
         timeit.stop("start_" + controller_name)
 
         logger.info(

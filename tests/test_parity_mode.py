@@ -24,3 +24,12 @@ def test_parity_deviation_grows_with_different_seeds():
                                    base_seed=2)
     # same-seed parity is tight for both runs
     assert a1 < 5e-3 and a2 < 5e-3
+
+
+def test_random_shooting_and_cem_parity():
+    rs_dev = parity.run_random_shooting_parity(n_steps=5, horizon=10,
+                                               num_particles=32)
+    cem_dev = parity.run_cem_parity(n_steps=5, horizon=10,
+                                    num_particles=32)
+    assert rs_dev < 1e-4, rs_dev
+    assert cem_dev < 1e-4, cem_dev

@@ -39,7 +39,8 @@ class MLPPolicy:
         return params
 
     def __call__(self, params, obs: jax.Array) -> jax.Array:
-        act = jnp.tanh if self.activation == "tanh" else jax.nn.relu
+        from .ensemble import _activation
+        act = _activation(self.activation)
         h = obs
         for i, lyr in enumerate(params):
             h = h @ lyr.weight + lyr.bias

@@ -65,7 +65,9 @@ class QuadraticQFunc:
     def loss(self, params: QuadraticQParams, obs, actions, targets,
              reg: float = 0.0) -> jax.Array:
         """0.5 * MSE (+ L2 mirrored from the reference's SGD weight_decay)."""
-        err = self(params, obs, actions) - targets
+        out = self(params, obs, actions)
+        # accept reference-style [B, 1] targets without mis-broadcasting
+        err = out - jnp.reshape(targets, out.shape)
         l2 = sum(jnp.sum(p ** 2) for p in params[:2])
         return 0.5 * jnp.mean(err ** 2) + 0.5 * reg * l2
 

@@ -25,9 +25,12 @@ _F64 = ctypes.c_double
 
 
 def _build() -> None:
-    subprocess.run(
+    proc = subprocess.run(
         ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC],
-        check=True, capture_output=True)
+        capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"oracle build failed:\n{proc.stderr}")
 
 
 def _load() -> ctypes.CDLL:

@@ -36,75 +36,30 @@ def run_mppi_parity(n_steps: int = 10, horizon: int = 16,
                     lam: float = 0.05, step_size: float = 0.7,
                     gamma: float = 0.99,
                     filter_coeffs=(0.25, 0.8, 0.0)) -> Tuple[float, float]:
-    """Returns (max control deviation, max mean-sequence deviation) over
-    an n_step closed-loop pendulum run at identical injected noise."""
+    """(max control deviation, max mean-sequence deviation) over an
+    n_step closed-loop pendulum run at identical injected noise."""
     env = envs.make("SimplePendulum-v0")
     solver = solvers.MPPI(d_action=1, horizon=horizon,
                           num_particles=num_particles, lam=lam,
                           step_size=step_size, gamma=gamma, alpha=1,
                           init_cov=1.0, filter_coeffs=filter_coeffs,
                           base_action="null")
-    gamma_seq = ops.gamma_sequence(gamma, horizon)
-    cov = np.eye(1, dtype=np.float64)
 
-    # JAX side pieces (jitted once)
     @jax.jit
     def tpu_update(mean, env_state, noise):
         state = solver.init_state(jax.random.PRNGKey(0))._replace(
             mean=jnp.asarray(mean, jnp.float32))
         traj = rollout_open_loop(env, env.params, env_state, state.mean,
                                  jnp.asarray(noise, jnp.float32))
-        new = solver.update(state, traj)
-        return new.mean
+        return solver.update(state, traj).mean
 
-    # real env state evolves under the CPU side's executed action
-    env_state = env.init(env.params, jax.random.PRNGKey(1))
-    th = float(env_state.th)
-    thdot = float(env_state.thdot)
+    def cpu_update(mean, actions, costs):
+        return cpp_oracle.mppi_update(mean, actions, costs, gamma, lam,
+                                      step_size)
 
-    mean_cpu = np.zeros((horizon, 1))
-    mean_tpu = np.zeros((horizon, 1))
-    max_act_dev = 0.0
-    max_mean_dev = 0.0
-
-    from ..envs.pendulum import PendulumState
-    step_fn = jax.jit(env.step)
-
-    for t in range(n_steps):
-        # exact reference noise procedure (global reseed + mvn + AR(2))
-        noise = numpy_ref.generate_noise(
-            cov, filter_coeffs, (num_particles, horizon), base_seed + t)
-
-        # CPU side: serial C++ rollout + NumPy reference update
-        costs_cpu = cpp_oracle.pendulum_rollout(
-            env.params, th, thdot, mean_cpu, noise)
-        actions_cpu = mean_cpu[None] + noise
-        mean_cpu = cpp_oracle.mppi_update(
-            mean_cpu, actions_cpu, costs_cpu, gamma, lam, step_size)
-
-        # TPU side: fused rollout + solver update, same injected noise
-        env_state = PendulumState(th=jnp.float32(th),
-                                  thdot=jnp.float32(thdot))
-        mean_tpu = np.asarray(tpu_update(mean_tpu, env_state, noise))
-
-        max_mean_dev = max(max_mean_dev,
-                           float(np.abs(mean_cpu - mean_tpu).max()))
-        a_cpu, a_tpu = mean_cpu[0], mean_tpu[0]
-        max_act_dev = max(max_act_dev, float(np.abs(a_cpu - a_tpu).max()))
-
-        # both executed controls advance the shared real env (CPU action)
-        env_state, _, _, _ = step_fn(
-            env.params, env_state,
-            jnp.asarray(np.clip(a_cpu, -2, 2), jnp.float32))
-        th, thdot = float(env_state.th), float(env_state.thdot)
-
-        # hotstart shift on both sides (roll left, zero last)
-        mean_cpu = np.vstack([mean_cpu[1:], np.zeros((1, 1))])
-        mean_tpu = np.vstack([mean_tpu[1:], np.zeros((1, 1))])
-
-    return max_act_dev, max_mean_dev
-
-
+    return _run_parity((cpu_update, tpu_update), n_steps, horizon,
+                       num_particles, base_seed,
+                       filter_coeffs=filter_coeffs)
 
 
 def _run_parity(update_pair, n_steps, horizon, num_particles, base_seed,
@@ -120,6 +75,7 @@ def _run_parity(update_pair, n_steps, horizon, num_particles, base_seed,
     mean_cpu = np.zeros((horizon, 1))
     mean_tpu = np.zeros((horizon, 1))
     max_act_dev = 0.0
+    max_mean_dev = 0.0
     from ..envs.pendulum import PendulumState
     step_fn = jax.jit(env.step)
 
@@ -134,6 +90,8 @@ def _run_parity(update_pair, n_steps, horizon, num_particles, base_seed,
                                   thdot=jnp.float32(thdot))
         mean_tpu = np.asarray(tpu_update(mean_tpu, env_state, noise))
 
+        max_mean_dev = max(max_mean_dev,
+                           float(np.abs(mean_cpu - mean_tpu).max()))
         a_cpu = mean_cpu[0]
         max_act_dev = max(max_act_dev,
                           float(np.abs(a_cpu - mean_tpu[0]).max()))
@@ -143,7 +101,7 @@ def _run_parity(update_pair, n_steps, horizon, num_particles, base_seed,
         th, thdot = float(env_state.th), float(env_state.thdot)
         mean_cpu = np.vstack([mean_cpu[1:], np.zeros((1, 1))])
         mean_tpu = np.vstack([mean_tpu[1:], np.zeros((1, 1))])
-    return max_act_dev
+    return max_act_dev, max_mean_dev
 
 
 def run_random_shooting_parity(n_steps=8, horizon=12, num_particles=48,
@@ -167,7 +125,7 @@ def run_random_shooting_parity(n_steps=8, horizon=12, num_particles=48,
             mean, actions, costs, gamma_seq, step_size)
 
     return _run_parity((cpu_update, tpu_update), n_steps, horizon,
-                       num_particles, base_seed)
+                       num_particles, base_seed)[0]
 
 
 def run_cem_parity(n_steps=8, horizon=12, num_particles=48,
@@ -195,7 +153,7 @@ def run_cem_parity(n_steps=8, horizon=12, num_particles=48,
         return new_mean
 
     return _run_parity((cpu_update, tpu_update), n_steps, horizon,
-                       num_particles, base_seed)
+                       num_particles, base_seed)[0]
 
 
 def main():

@@ -26,10 +26,11 @@ def _chain_points(model: rb.ChainModel, qpos) -> np.ndarray:
     return np.asarray(poss)
 
 
-def _render_chain(env, state_t, ax, plane=(0, 2)):
+def _render_chain(env, state_t, ax, plane=(0, 2), pts=None):
     """Skeleton in a coordinate plane: body frame origins + site/target."""
     model = env.params.model
-    pts = _chain_points(model, state_t.qpos)
+    if pts is None:
+        pts = _chain_points(model, state_t.qpos)
     a, b = plane
     # draw each body as a segment from its parent frame to its own
     for i in range(model.n_joints):
@@ -66,7 +67,8 @@ def _render_point(env, state_t, ax):
     x = np.asarray(getattr(state_t, "x", getattr(state_t, "pos", None)))
     ax.plot([x[0]], [x[1] if x.shape[0] > 1 else 0.0], "o",
             color="tab:blue", markersize=10)
-    goal = getattr(state_t, "goal", None)
+    # goal lives in the state (maze) or in env.params (point_mass)
+    goal = getattr(state_t, "goal", getattr(env.params, "goal", None))
     g = np.asarray(goal) if goal is not None else np.zeros(2)
     ax.plot([g[0]], [g[1]], "g*", markersize=14)
     obstacles = getattr(env.params, "obstacles", None)
@@ -85,8 +87,8 @@ def _render_reacher(env, state_t, ax):
 
 
 def _render_planar(env, state_t, ax, plane=(0, 2), span=1.5):
-    _render_chain(env, state_t, ax, plane=plane)
     pts = _chain_points(env.params.model, state_t.qpos)
+    _render_chain(env, state_t, ax, plane=plane, pts=pts)
     cx = pts[:, plane[0]].mean()
     ax.set_xlim(cx - span, cx + span)
     ax.set_ylim(-span, span)
@@ -137,7 +139,7 @@ def render_trajectory(env, states, episode: int = 0,
     render = _RENDERERS[base]
     import jax
     n_t = jax.tree_util.tree_leaves(states)[0].shape[1]
-    stride = max(1, n_t // max_frames)
+    stride = max(1, -(-n_t // max_frames))  # ceil: honor the cap
 
     frames = []
     fig, ax = plt.subplots(figsize=figsize, dpi=80)
@@ -166,7 +168,9 @@ def dump_videos(env, states, folder: str, filename: str = "vid_traj_",
         path = os.path.join(folder, f"{filename}{b}.mp4")
         try:
             imageio.mimsave(path, frames, fps=fps)
-        except Exception:
+        except Exception as e:  # no ffmpeg etc. — fall back to GIF
+            if os.path.exists(path):
+                os.remove(path)  # don't leave a truncated mp4 behind
             path = os.path.join(folder, f"{filename}{b}.gif")
             imageio.mimsave(path, frames, duration=1000.0 / fps)
         paths.append(path)

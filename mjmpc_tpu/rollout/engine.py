@@ -129,6 +129,10 @@ def make_rollout_fn(env: Env, mode: str = "open_loop"):
     elif mode == "closed_loop_linear":
         def fn(params, state0, weights, noise):
             return rollout_closed_loop_linear(env, params, state0, weights, noise)
+    elif mode == "closed_loop_policy":
+        def fn(params, state0, policy_fn, noise):
+            return rollout_closed_loop_policy(env, params, state0,
+                                              policy_fn, noise)
     else:
         raise ValueError(f"unknown rollout mode {mode!r}")
     return fn

@@ -82,7 +82,8 @@ class LoggerClass:
     # ---- tabular metrics ---------------------------------------------------
     def record_tabular(self, key, val):
         key = str(key)
-        assert key not in self._curr_recorded, f"duplicate key {key}"
+        if key in self._curr_recorded:  # not assert: survives python -O
+            raise ValueError(f"duplicate tabular key {key!r} this iteration")
         self._curr_recorded.append(key)
         if key in self._tabular:
             self._tabular[key].append(val)

@@ -74,6 +74,11 @@ def _register_deferred():
     except ImportError:
         pass
     try:
+        from . import relocate
+        _REGISTRY.setdefault("relocate-v0", relocate.make)
+    except ImportError:
+        pass
+    try:
         from . import maze
         _REGISTRY.setdefault("maze-v0", maze.make)
         _REGISTRY.setdefault("continual_maze-v0", maze.make_continual)

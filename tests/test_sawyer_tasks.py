@@ -94,3 +94,28 @@ def test_door_mpc_opens():
     r = np.asarray(out["reward"])
     assert np.isfinite(r).all()
     assert r[-5:].mean() > r[:5].mean()
+
+
+def test_relocate_ball_rests_then_lifts():
+    env = envs.make("relocate-v0")
+    from mjmpc_tpu.envs.relocate import _hand_and_ball
+    s = env.init(env.params, jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for _ in range(10):
+        s, obs, r, d = step(env.params, s, jnp.zeros(7))
+    _, ball = _hand_and_ball(env.params.model, s.qpos)
+    assert abs(float(ball[2]) + 0.25) < 0.02  # resting on the table
+    assert np.isfinite(np.asarray(s.qpos)).all()
+
+
+def test_relocate_mpc_progress():
+    env = envs.make("relocate-v0")
+    solver = solvers.MPPI(d_action=7, horizon=16, num_particles=128,
+                          lam=0.05, init_cov=0.4, step_size=0.7,
+                          gamma=1.0, filter_coeffs=(0.25, 0.8, 0.0),
+                          base_action="repeat")
+    ep = jax.jit(solvers.evaluate_episode(solver, env, 40))
+    out = ep(env.params, jax.random.PRNGKey(0))
+    r = np.asarray(out["reward"])
+    assert np.isfinite(r).all()
+    assert r[-5:].mean() > r[:5].mean()

@@ -79,6 +79,11 @@ def _register_deferred():
     except ImportError:
         pass
     try:
+        from . import hammer
+        _REGISTRY.setdefault("hammer-v0", hammer.make)
+    except ImportError:
+        pass
+    try:
         from . import maze
         _REGISTRY.setdefault("maze-v0", maze.make)
         _REGISTRY.setdefault("continual_maze-v0", maze.make_continual)

@@ -119,3 +119,28 @@ def test_relocate_mpc_progress():
     r = np.asarray(out["reward"])
     assert np.isfinite(r).all()
     assert r[-5:].mean() > r[:5].mean()
+
+
+def test_hammer_nail_ratchets():
+    """The nail stays put passively and only moves when struck."""
+    env = envs.make("hammer-v0")
+    from mjmpc_tpu.envs.hammer import _nail_depth
+    s = env.init(env.params, jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for _ in range(10):
+        s, obs, r, d = step(env.params, s, jnp.zeros(7))
+    assert abs(float(_nail_depth(s))) < 1e-4
+    assert np.isfinite(np.asarray(s.qpos)).all()
+
+
+def test_hammer_mpc_progress():
+    env = envs.make("hammer-v0")
+    solver = solvers.MPPI(d_action=7, horizon=16, num_particles=128,
+                          lam=0.05, init_cov=0.5, step_size=0.7,
+                          gamma=1.0, filter_coeffs=(0.25, 0.8, 0.0),
+                          base_action="repeat")
+    ep = jax.jit(solvers.evaluate_episode(solver, env, 40))
+    out = ep(env.params, jax.random.PRNGKey(0))
+    r = np.asarray(out["reward"])
+    assert np.isfinite(r).all()
+    assert r[-5:].mean() > r[:5].mean()

@@ -21,11 +21,19 @@ from ..envs.base import Env
 
 
 def _build_step_fn(solver, env: Env, shard_particles=None,
-                   sim_env: Env = None):
-    """One MPC-in-the-loop control step: (carry, params) -> (carry, out)."""
+                   sim_env: Env = None, guard: bool = True):
+    """One MPC-in-the-loop control step: (carry, params) -> (carry, out).
+
+    guard=True (default, opt out with run_mpc --no_guard) wraps every
+    solve in solvers.guard_finite: a diverged solve (NaN rollout,
+    collapsed covariance) is discarded, the control distribution
+    re-initializes, and a zero action is played for that step — failure
+    recovery the reference lacks entirely (SURVEY.md §5)."""
     plan_env = sim_env if sim_env is not None else env
     solve = solvers.make_solve_fn(solver, plan_env,
                                   shard_particles=shard_particles)
+    if guard:
+        solve = solvers.guard_finite(solve, solver)
 
     def step_fn(real_params, sim_params, carry):
         env_state, solver_state = carry
@@ -44,7 +52,8 @@ def _build_step_fn(solver, env: Env, shard_particles=None,
 
 
 def build_episode_fn(solver, env: Env, episode_length: int,
-                     shard_particles=None, sim_env: Env = None):
+                     shard_particles=None, sim_env: Env = None,
+                     guard: bool = True):
     """episode(real_params, sim_params, key) -> dict of [T, ...] arrays.
 
     The solver plans against sim_params (through sim_env's dynamics
@@ -52,7 +61,7 @@ def build_episode_fn(solver, env: Env, episode_length: int,
     example_mpc.py:46); the environment advances under real_params via
     env.step. The two envs must share the state pytree structure.
     """
-    step_fn = _build_step_fn(solver, env, shard_particles, sim_env)
+    step_fn = _build_step_fn(solver, env, shard_particles, sim_env, guard)
 
     def episode(real_params, sim_params, key):
         env_key, solver_key = jax.random.split(key)
@@ -69,7 +78,8 @@ def build_episode_fn(solver, env: Env, episode_length: int,
 def run_episodes(solver, env: Env, n_episodes: int, episode_length: int,
                  base_seed: int = 123, sim_params=None,
                  sim_env: Env = None,
-                 chunk_size: Optional[int] = None) -> Dict[str, Any]:
+                 chunk_size: Optional[int] = None,
+                 guard: bool = True) -> Dict[str, Any]:
     """Batch of episodes with the reference's per-episode seeding
     (episode_seed = base_seed + i*12345, example_mpc.py:146).
 
@@ -88,7 +98,7 @@ def run_episodes(solver, env: Env, n_episodes: int, episode_length: int,
 
     if chunk_size is None or chunk_size >= episode_length:
         episode = build_episode_fn(solver, env, episode_length,
-                                   sim_env=sim_env)
+                                   sim_env=sim_env, guard=guard)
         batched = jax.jit(jax.vmap(
             lambda k: episode(env.params, sim_params, k)))
         out, final_solver_states = batched(keys)
@@ -98,7 +108,7 @@ def run_episodes(solver, env: Env, n_episodes: int, episode_length: int,
         # can exceed the remote worker's compile limits as one fused
         # T-step program; the per-chunk program is T/chunk_size smaller
         # and carries (env_state, solver_state) exactly.
-        step_fn = _build_step_fn(solver, env, sim_env=sim_env)
+        step_fn = _build_step_fn(solver, env, sim_env=sim_env, guard=guard)
 
         def make_chunk(length):
             def chunk(carry):

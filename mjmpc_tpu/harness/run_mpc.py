@@ -45,6 +45,10 @@ def main(argv=None):
     parser.add_argument("--chunk_size", type=int, default=None,
                         help="compile the episode in chunks of this many "
                              "steps (heavy envs at long horizons)")
+    parser.add_argument("--no_guard", action="store_true",
+                        help="disable the NaN/Inf solve guard (failure "
+                             "recovery is ON by default: a diverged solve "
+                             "re-initializes the control distribution)")
     args = parser.parse_args(argv)
 
     exp_params = cfg.load_config(args.config)
@@ -86,7 +90,8 @@ def main(argv=None):
             base_seed=exp_params["seed"],
             sim_params=sim_params,
             sim_env=sim_env if sim_env.name != env.name else None,
-            chunk_size=args.chunk_size)
+            chunk_size=args.chunk_size,
+            guard=not args.no_guard)
         timeit.stop("start_" + controller_name)
 
         logger.info(

@@ -1,5 +1,7 @@
 """Maze env (the capability upstream registered but never shipped) + the
 NaN-guard failure-recovery wrapper."""
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,6 +75,63 @@ def test_guard_finite_recovers_from_nan():
     plain = jax.jit(solve)(env.params, est, good)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(plain[0]),
                                rtol=1e-6)
+
+
+class CountState(NamedTuple):
+    x: jax.Array
+    t: jax.Array
+
+
+def _make_counting_env(nan_at=None):
+    """1-D integrator whose reward turns NaN at step `nan_at` — a
+    deterministic mid-episode divergence injected into the PLANNING model
+    only (the real env stays clean), for the episode-level guard test."""
+    from mjmpc_tpu.envs.base import Env
+
+    def init(params, key):
+        return CountState(x=jnp.float32(1.0), t=jnp.array(0, jnp.int32))
+
+    def observe(params, s):
+        return jnp.stack([s.x])
+
+    def step(params, s, a):
+        new = CountState(x=s.x + 0.1 * a[0], t=s.t + 1)
+        r = -(new.x ** 2)
+        if nan_at is not None:
+            r = jnp.where(new.t == nan_at, jnp.nan, r)
+        return new, observe(params, new), r, jnp.array(False)
+
+    return Env(name="count-v0", d_obs=1, d_action=1,
+               action_lows=np.array([-1.0], np.float32),
+               action_highs=np.array([1.0], np.float32),
+               params=(), init=init, step=step, observe=observe,
+               max_episode_steps=100)
+
+
+def test_run_episodes_guard_recovers_from_mid_episode_nan():
+    """Production-path failure recovery: a NaN rollout mid-episode (steps
+    whose planning horizon crosses the poisoned timestep) is discarded and
+    the episode continues finite; without the guard the NaN persists in
+    the solver mean and contaminates every subsequent action."""
+    from mjmpc_tpu.harness.episode import run_episodes
+
+    real = _make_counting_env(nan_at=None)
+    sim = _make_counting_env(nan_at=3)
+    solver = solvers.MPPI(d_action=1, horizon=4, num_particles=16,
+                          lam=0.1, init_cov=0.5, step_size=0.7)
+
+    out = run_episodes(solver, real, n_episodes=1, episode_length=10,
+                       base_seed=7, sim_env=sim, guard=True)
+    assert np.isfinite(out["actions"]).all()
+    assert np.isfinite(out["rewards"]).all()
+    # guard fired: the solves whose horizon crossed t==3 play zero
+    assert np.any(out["actions"][0, :3] == 0.0)
+    # and recovered: post-poison solves act again
+    assert np.any(out["actions"][0, 4:] != 0.0)
+
+    bad = run_episodes(solver, real, n_episodes=1, episode_length=10,
+                       base_seed=7, sim_env=sim, guard=False)
+    assert not np.isfinite(bad["actions"]).all()
 
 
 def test_trajopt_reacher_mpc_reaches():

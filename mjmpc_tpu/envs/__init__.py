@@ -10,7 +10,8 @@ from __future__ import annotations
 from typing import Callable, Dict
 
 from .base import Env
-from .randomize import randomize_dynamics, randomize_batch, register_names
+from .randomize import (randomize_dynamics, randomize_batch,
+                        register_names, register_param_paths)
 from .wrappers import normalize_obs, frame_stack
 from . import pendulum, lqr, point_mass, cartpole
 
@@ -63,9 +64,14 @@ def _register_deferred():
         from . import sawyer_tasks, reacher_7dof
         _REGISTRY.setdefault("sawyer_reacher-v0", reacher_7dof.make)
         _REGISTRY.setdefault("sawyer_pusher-v0", sawyer_tasks.make_pusher)
+        # the reference's sawyer pusher config names the env 'pusher-v0'
+        # (examples/configs/sawyer/pusher-v0.yml:1)
+        _REGISTRY.setdefault("pusher-v0", sawyer_tasks.make_pusher)
         _REGISTRY.setdefault("sawyer_door-v0", sawyer_tasks.make_door)
         _REGISTRY.setdefault("sawyer_peg_insertion-v0",
                              sawyer_tasks.make_peg_insertion)
+        _REGISTRY.setdefault("sawyer_peg_insertion-v1",
+                             sawyer_tasks.make_peg_insertion_v1)
     except ImportError:
         pass
     try:
@@ -73,6 +79,17 @@ def _register_deferred():
         _REGISTRY.setdefault("pen-v0", pen.make)
     except ImportError:
         pass
+    try:
+        from . import hand_door
+        _REGISTRY.setdefault("door-v0", hand_door.make)
+    except ImportError:
+        # stopgap until the hand-actuated door lands: the reference's
+        # hand/door-v0.yml resolves to the arm-door task
+        import dataclasses as _dc
+        from . import sawyer_tasks as _st
+        _REGISTRY.setdefault(
+            "door-v0",
+            lambda: _dc.replace(_st.make_door(), name="door-v0"))
     try:
         from . import relocate
         _REGISTRY.setdefault("relocate-v0", relocate.make)
@@ -97,13 +114,19 @@ def _register_deferred():
     try:
         from . import panda_tasks
         _REGISTRY.setdefault("panda_tray_glass-v0", panda_tasks.make)
+        _REGISTRY.setdefault("panda_tray_glass-v1", panda_tasks.make_v1)
+        _REGISTRY.setdefault("panda_tray_glass_fixed-v1",
+                             panda_tasks.make_fixed_v1)
         _REGISTRY.setdefault("panda_reacher-v0", reacher_7dof.make)
     except ImportError:
         pass
+    # the reference's point_mass config names the mjrl-registered id
+    # (examples/configs/point_mass-v0.yml:1)
+    _REGISTRY.setdefault("mjrl_point_mass-v0", point_mass.make)
 
 
 _register_deferred()
 
 __all__ = ["Env", "make", "register", "available",
            "randomize_dynamics", "randomize_batch", "register_names",
-           "normalize_obs", "frame_stack"]
+           "register_param_paths", "normalize_obs", "frame_stack"]

@@ -97,3 +97,14 @@ def make(max_episode_steps: int = 200) -> Env:
         success=success,
         max_episode_steps=max_episode_steps,
     )
+
+
+# Dynamics-randomization mapping for the reference's cartpole dyn config
+# (examples/configs/classic_control/cartpole_dyn_randomize.yml): mass axes
+# map onto the analytic params; its zeroed axes (inertia, damping,
+# frictionloss) keep defaults via the randomizer's [0, 0] tolerance.
+from .randomize import register_param_paths as _register_param_paths  # noqa: E402
+
+_register_param_paths("cartpole-v0", {
+    "body_mass": {"cart": "masscart", "pole": "masspole"},
+})

@@ -132,3 +132,14 @@ def make() -> Env:
                action_highs=np.full(7, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,
                success=_success, max_episode_steps=150)
+
+
+# reference dyn-randomize names (dyn_randomize_configs/hand/hammer-v0.yml):
+# Object = the wrist-welded hammer tool (body 6); the nail is body 7.
+from .randomize import register_names as _register_names  # noqa: E402
+from .reacher_7dof import BODY_NAMES as _ARM_BODY_NAMES, \
+    JOINT_NAMES as _ARM_JOINT_NAMES  # noqa: E402
+
+_register_names("hammer-v0", _ARM_BODY_NAMES + ["nail"],
+                _ARM_JOINT_NAMES + ["nail_slide"],
+                extra={"Object": 6})

@@ -19,6 +19,8 @@ expressed with sim_env_name / dynamics randomization on glass mass.
 """
 from __future__ import annotations
 
+import dataclasses
+
 from typing import NamedTuple
 
 import jax
@@ -143,7 +145,62 @@ def make() -> Env:
                success=_success, max_episode_steps=100)
 
 
-# name tables for dynamics randomization (glass mass/damping by name)
-register_names("panda_tray_glass-v0",
-               _ARM_BODY_NAMES + ["glass_x", "glass"],
-               _ARM_JOINT_NAMES + ["glass_slide_x", "glass_slide_y"])
+def _init_v1(params: TrayGlassParams, key: jax.Array) -> TrayGlassState:
+    """v1 resets with the glass already displaced from the tray center —
+    the controller must first recentre it on a slipperier tray."""
+    kt, kg = jax.random.split(key)
+    target = jax.random.uniform(kt, (3,), jnp.float32,
+                                jnp.array([0.3, -0.85, -0.1]),
+                                jnp.array([0.8, -0.35, 0.3]))
+    glass0 = jax.random.uniform(kg, (2,), jnp.float32, -0.05, 0.05)
+    qpos = jnp.zeros(9).at[_N_ARM:].set(glass0)
+    return TrayGlassState(qpos=qpos, qvel=jnp.zeros(9),
+                          target=target, timestep=jnp.array(0, jnp.int32))
+
+
+def make_v1() -> Env:
+    """panda_tray_glass-v1: the harder variant the reference runs via the
+    external mj_envs task (examples/configs/panda/tray_glass-v1.yml) —
+    lower tray friction (the v1 dyn-randomize axis is geom_friction on
+    tray/glass, dyn_randomize_configs/panda/tray_glass-v1.yml) and a
+    randomized initial glass offset. Shares the v0 state pytree."""
+    model = build_model()
+    # slipperier tray: halve the glass-slide viscous damping (friction)
+    damping = model.damping.at[_N_ARM:].mul(0.5)
+    params = TrayGlassParams(model=model._replace(damping=damping),
+                             fall_penalty=jnp.float32(5.0))
+    env = make()
+    return dataclasses.replace(env, name="panda_tray_glass-v1", params=params,
+                       init=_init_v1, max_episode_steps=75)
+
+
+def make_fixed_v1() -> Env:
+    """panda_tray_glass_fixed-v1: the BIASED internal model of the
+    tray_glass-v1_biased_model experiment (reference
+    examples/configs/panda/tray_glass-v1_biased_model.yml — env_name v1,
+    sim_env_name fixed-v1): the glass is rigidly attached to the tray
+    (its slide DOFs clamped at zero), so a planner using this model
+    believes the glass can never slide off. State pytree matches v1, so
+    it drops into the sim_env slot of the episode runner."""
+    model = build_model()
+    zero = jnp.zeros(2, jnp.float32)
+    model = model._replace(
+        qpos_low=model.qpos_low.at[_N_ARM:].set(zero),
+        qpos_high=model.qpos_high.at[_N_ARM:].set(zero))
+    params = TrayGlassParams(model=model, fall_penalty=jnp.float32(5.0))
+    env = make_v1()
+    return dataclasses.replace(env, name="panda_tray_glass_fixed-v1",
+                       params=params)
+
+
+# name tables for dynamics randomization (glass mass/damping by name).
+# tray_collision / glass_collision are the reference's geom names
+# (dyn_randomize_configs/panda/tray_glass-v1.yml); geom friction maps to
+# the glass-slide viscous damping rows of the chain.
+for _name in ("panda_tray_glass-v0", "panda_tray_glass-v1",
+              "panda_tray_glass_fixed-v1"):
+    register_names(_name,
+                   _ARM_BODY_NAMES + ["glass_x", "glass"],
+                   _ARM_JOINT_NAMES + ["glass_slide_x", "glass_slide_y"],
+                   extra={"tray_collision": _N_ARM,
+                          "glass_collision": _N_ARM + 1})

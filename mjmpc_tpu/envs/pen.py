@@ -98,4 +98,7 @@ def make() -> Env:
 from .randomize import register_names as _register_names  # noqa: E402
 
 _register_names("pen-v0", ["pen_rx", "pen_ry", "pen"],
-                ["pen_hinge_x", "pen_hinge_y", "pen_hinge_z"])
+                ["pen_hinge_x", "pen_hinge_y", "pen_hinge_z"],
+                # reference dyn-randomize names (dyn_randomize_configs/
+                # hand/pen-v0.yml): Object = the pen body, pen = its geom
+                extra={"Object": 2})

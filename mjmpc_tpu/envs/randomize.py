@@ -31,23 +31,45 @@ import numpy as np
 
 from .base import Env
 
-# MuJoCo-style field -> ChainModel attribute
+# MuJoCo-style field -> ChainModel attribute. geom_friction maps onto the
+# viscous joint damping of the named contact DOF — the engine's friction
+# analog (docs/PARITY.md: penalty contact, no LCP friction cone).
 _CHAIN_FIELDS = {
     "body_mass": "mass",
     "body_inertia": "inertia",
     "dof_damping": "damping",
     "dof_armature": "armature",
     "actuator_gear": "gear",
+    "geom_friction": "damping",
 }
 
 # per-env name tables (index into the chain)
 _NAME_TABLES: Dict[str, Dict[str, int]] = {}
 
+# per-env (field, name) -> params-path tables for NON-chain parameters
+# (analytic envs like cartpole; sensor-noise leaves)
+_PARAM_PATHS: Dict[str, Dict[str, Dict[str, str]]] = {}
 
-def register_names(env_name: str, body_names, joint_names=None) -> None:
+
+def register_param_paths(env_name: str,
+                         mapping: Dict[str, Dict[str, str]]) -> None:
+    """Map reference dyn-randomize (field, name) pairs onto arbitrary
+    params-pytree paths, for envs whose dynamics are not a ChainModel
+    (e.g. cartpole-v0: body_mass/cart -> 'masscart') or for sensor
+    fields (sensor_noise/target_pos -> 'sensor_bias')."""
+    _PARAM_PATHS.setdefault(env_name, {}).update(
+        {f: dict(names) for f, names in mapping.items()})
+
+
+def register_names(env_name: str, body_names, joint_names=None,
+                   extra=None) -> None:
+    """Register the body/joint name -> chain-row tables for an env.
+    `extra` maps additional MuJoCo-style names (geom names, alternate
+    spellings in the reference's dyn-randomize YAMLs) onto rows."""
     table = {n: i for i, n in enumerate(body_names)}
     for i, n in enumerate(joint_names or []):
         table.setdefault(n, i)
+    table.update(extra or {})
     _NAME_TABLES[env_name] = table
 
 
@@ -69,6 +91,9 @@ def _set_path(obj, path: str, value):
 
 def _resolve(env: Env, field: str, name: str) -> Tuple[str, Optional[int]]:
     """(params path, row index or None) for a (field, name) pair."""
+    paths = _PARAM_PATHS.get(env.name, {})
+    if field in paths and name in paths[field]:
+        return paths[field][name], None
     if field in _CHAIN_FIELDS:
         table = _NAME_TABLES.get(env.name)
         if table is None or name not in table:
@@ -103,7 +128,18 @@ def randomize_dynamics(env: Env, param_dict: Dict[str, Dict[str, Any]],
         defaults[field] = {}
         randomized[field] = {}
         for name, dist in names.items():
-            path, idx = _resolve(env, field, name)
+            try:
+                path, idx = _resolve(env, field, name)
+            except ValueError:
+                # A [0, 0] spec means "keep the default" regardless of
+                # where the value lives — tolerate unmapped names for
+                # exactly that case (the reference's cartpole dyn config
+                # lists zeroed axes for params its own model lacks too).
+                if float(dist[0]) == 0.0 and float(dist[1]) == 0.0:
+                    defaults[field][name] = None
+                    randomized[field][name] = None
+                    continue
+                raise
             arr = np.asarray(_get_path(params, path))
             cur = arr[idx] if idx is not None else arr
             defaults[field][name] = np.array(cur, copy=True)

@@ -235,9 +235,11 @@ def make_door() -> Env:
 
 class PegParams(NamedTuple):
     model: rb.ChainModel
-    hole_entry: jax.Array   # [3]
+    hole_entry: jax.Array   # [3] nominal (sensed) hole position
     hole_axis: jax.Array    # [3] unit, pointing INTO the hole
     hole_depth: jax.Array
+    sensor_bias: jax.Array  # [3] true-hole offset vs the sensed position
+                            # (zero in v0; the v1 sensed-target variant)
 
 
 class PegState(NamedTuple):
@@ -258,7 +260,7 @@ def _peg_init(params, key):
 
 def _peg_metrics(params: PegParams, q):
     tip = rb.site_position(params.model, q)
-    rel = tip - params.hole_entry
+    rel = tip - (params.hole_entry + params.sensor_bias)
     depth = rel @ params.hole_axis                  # >0 once inside
     lateral = jnp.linalg.norm(rel - depth * params.hole_axis)
     return tip, depth, lateral
@@ -298,7 +300,8 @@ def make_peg_insertion() -> Env:
     params = PegParams(model=_peg_model(),
                        hole_entry=jnp.array([0.2, -0.25, -0.1]),
                        hole_axis=jnp.array([0.0, 0.0, -1.0]),
-                       hole_depth=jnp.float32(0.08))
+                       hole_depth=jnp.float32(0.08),
+                       sensor_bias=jnp.zeros(3))
     return Env(name="sawyer_peg_insertion-v0", d_obs=7 + 7 + 3 + 2,
                d_action=7,
                action_lows=np.full(7, -1.0, np.float32),
@@ -306,3 +309,44 @@ def make_peg_insertion() -> Env:
                params=params, init=_peg_init, step=_peg_step,
                observe=_peg_obs, success=_peg_success,
                max_episode_steps=100)
+
+
+def make_peg_insertion_v1(sensor_bias=(0.01, -0.012, 0.008)) -> Env:
+    """sawyer_peg_insertion-v1: the sensed-target variant (reference
+    examples/configs/sawyer/peg_insertion-v1.yml — env_name v1 with
+    sim_env_name v0, dyn axis sensor_noise:target_pos in
+    dyn_randomize_configs/sawyer/peg_insertion-v1.yml). The REAL hole sits
+    at the nominal position plus a fixed sensor-calibration offset the
+    planner's v0 model does not know about; the controller must still
+    insert under that model bias. Same PegState pytree as v0, so it pairs
+    with v0 in the env/sim_env split of the episode runner."""
+    import dataclasses
+    env = make_peg_insertion()
+    params = env.params._replace(
+        sensor_bias=jnp.asarray(sensor_bias, jnp.float32))
+    return dataclasses.replace(env, name="sawyer_peg_insertion-v1",
+                               params=params)
+
+
+# Dynamics-randomization name tables — names match the reference's
+# dyn_randomize_configs/sawyer/*.yml (body_mass: object/peg,
+# geom_friction: obj_cylinder/table, sensor_noise handled via the v1 env).
+from .reacher_7dof import BODY_NAMES as _ARM_BODY_NAMES, \
+    JOINT_NAMES as _ARM_JOINT_NAMES  # noqa: E402
+from .randomize import register_names as _register_names, \
+    register_param_paths as _register_param_paths  # noqa: E402
+
+for _n in ("sawyer_pusher-v0", "pusher-v0"):
+    _register_names(_n, _ARM_BODY_NAMES + ["object_x", "object"],
+                    _ARM_JOINT_NAMES + ["obj_slide_x", "obj_slide_y"],
+                    extra={"obj_cylinder": _N_ARM + 1,
+                           "obj_sphere": _N_ARM + 1,
+                           "table": _N_ARM})
+for _n in ("sawyer_peg_insertion-v0", "sawyer_peg_insertion-v1"):
+    # the peg is welded to the wrist (body 6): its mass rides that row
+    _register_names(_n, _ARM_BODY_NAMES, _ARM_JOINT_NAMES,
+                    extra={"peg": 6})
+    # sensor_noise: target_pos (dyn_randomize_configs/sawyer/
+    # peg_insertion-v1.yml) scales the true-hole sensor offset
+    _register_param_paths(_n, {"sensor_noise": {"target_pos":
+                                                "sensor_bias"}})

@@ -31,6 +31,10 @@ _DROPPED_KEYS = {
 # reference name -> our solver field
 _RENAMED = {
     "kl_delta": "delta_kl",
+    # the reference softq sections name the particle count n_rollouts
+    # (classic_control/cartpole-v0.yml) or num_samples (sawyer/reacher)
+    "n_rollouts": "num_particles",
+    "num_samples": "num_particles",
 }
 
 
@@ -49,8 +53,25 @@ def _scalarize(key: str, v):
     genuinely list-valued fields (AR coefficients; per-action-dim
     init_cov, which is averaged later)."""
     if key in _LIST_VALUED or not isinstance(v, list) or not v:
+        return _denoise(v)
+    return _denoise(v[0])
+
+
+def _denoise(v):
+    """Salvage numeric values mangled by YAML typos in the reference's own
+    configs (acrobot-v0.yml:17 'step_size : 1.]' parses as the string
+    '1.]'): strip non-numeric characters and re-parse; anything that still
+    isn't a number (e.g. 'null', 'full') passes through unchanged."""
+    if not isinstance(v, str):
         return v
-    return v[0]
+    cleaned = "".join(c for c in v if c in "0123456789.eE+-")
+    if cleaned in ("", v):
+        return v
+    try:
+        f = float(cleaned)
+    except ValueError:
+        return v
+    return int(f) if f.is_integer() and "." not in cleaned else f
 
 
 def solver_params_from_config(exp_params: Dict[str, Any],

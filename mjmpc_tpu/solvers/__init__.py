@@ -28,6 +28,8 @@ REGISTRY = {
     "pfmpc": PFMPC,
     "reinforce": Reinforce,
     "softqmpc": SoftQMPC,
+    "softq": SoftQMPC,  # the reference configs' section name
+                        # (examples/configs/classic_control/cartpole-v0.yml)
     "random_shooting_nn": RandomShootingNN,
     "ilqr": ILQR,
 }

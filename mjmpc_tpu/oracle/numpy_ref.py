@@ -145,6 +145,31 @@ def pf_systematic_resample(act_seq, weights, r):
     return out
 
 
+def mppiq_update(mean, cov, actions, costs, gamma, td_lam, beta,
+                 step_size, alpha, time_based_weights=True):
+    """MPPIQ distribution update (mppiq.py:73-89): per-step control
+    costs, TD(lambda) blended returns, time-based softmax weights."""
+    horizon = mean.shape[0]
+    delta = actions - mean[None, :, :]
+    if alpha == 1:
+        control_costs = np.zeros(costs.shape)
+    else:
+        u_normalized = mean.dot(np.linalg.inv(cov))[np.newaxis, :, :]
+        control_costs = 0.5 * u_normalized * (mean[np.newaxis, :, :]
+                                              + 2.0 * delta)
+        control_costs = np.sum(control_costs, axis=-1)
+    total = costs + beta * control_costs
+    q_hat = mppiq_returns(total, None, gamma, td_lam, horizon)
+    if not time_based_weights:
+        q_hat = q_hat[:, 0]
+    w = scipy.special.softmax((-1.0 / beta) * q_hat, axis=0)
+    if time_based_weights:
+        weighted = np.einsum("nh,nhd->hd", w, actions)
+    else:
+        weighted = np.einsum("n,nhd->hd", w, actions)
+    return (1.0 - step_size) * mean + step_size * weighted
+
+
 def mppiq_returns(costs, qvals, gamma, td_lam, horizon):
     """TD(lambda) blended returns (mppiq.py:104-126)."""
     if qvals is None:

@@ -35,7 +35,8 @@ def run_mppi_parity(n_steps: int = 10, horizon: int = 16,
                     num_particles: int = 64, base_seed: int = 123,
                     lam: float = 0.05, step_size: float = 0.7,
                     gamma: float = 0.99,
-                    filter_coeffs=(0.25, 0.8, 0.0)) -> Tuple[float, float]:
+                    filter_coeffs=(0.25, 0.8, 0.0),
+                    tpu_seed_offset: int = 0) -> Tuple[float, float]:
     """(max control deviation, max mean-sequence deviation) over an
     n_step closed-loop pendulum run at identical injected noise."""
     env = envs.make("SimplePendulum-v0")
@@ -59,13 +60,18 @@ def run_mppi_parity(n_steps: int = 10, horizon: int = 16,
 
     return _run_parity((cpu_update, tpu_update), n_steps, horizon,
                        num_particles, base_seed,
-                       filter_coeffs=filter_coeffs)
+                       filter_coeffs=filter_coeffs,
+                       tpu_seed_offset=tpu_seed_offset)
 
 
 def _run_parity(update_pair, n_steps, horizon, num_particles, base_seed,
-                filter_coeffs=(0.25, 0.8, 0.0)):
+                filter_coeffs=(0.25, 0.8, 0.0), tpu_seed_offset=0):
     """Shared closed-loop parity loop: update_pair = (cpu_update,
-    tpu_update) where each maps (mean, costs/traj pieces) -> new mean."""
+    tpu_update) where each maps (mean, costs/traj pieces) -> new mean.
+
+    tpu_seed_offset != 0 deliberately DESYNCHRONIZES the injected noise
+    (TPU side drawn at base_seed + t + offset) — used by the vacuity
+    guard in tests: mismatched seeds must NOT stay within tolerance."""
     env = envs.make("SimplePendulum-v0")
     cov = np.eye(1, dtype=np.float64)
     cpu_update, tpu_update = update_pair
@@ -82,13 +88,17 @@ def _run_parity(update_pair, n_steps, horizon, num_particles, base_seed,
     for t in range(n_steps):
         noise = numpy_ref.generate_noise(
             cov, filter_coeffs, (num_particles, horizon), base_seed + t)
+        noise_tpu = noise if tpu_seed_offset == 0 else \
+            numpy_ref.generate_noise(
+                cov, filter_coeffs, (num_particles, horizon),
+                base_seed + t + tpu_seed_offset)
         costs_cpu = cpp_oracle.pendulum_rollout(
             env.params, th, thdot, mean_cpu, noise)
         mean_cpu = cpu_update(mean_cpu, mean_cpu[None] + noise, costs_cpu)
 
         env_state = PendulumState(th=jnp.float32(th),
                                   thdot=jnp.float32(thdot))
-        mean_tpu = np.asarray(tpu_update(mean_tpu, env_state, noise))
+        mean_tpu = np.asarray(tpu_update(mean_tpu, env_state, noise_tpu))
 
         max_mean_dev = max(max_mean_dev,
                            float(np.abs(mean_cpu - mean_tpu).max()))
@@ -154,6 +164,191 @@ def run_cem_parity(n_steps=8, horizon=12, num_particles=48,
 
     return _run_parity((cpu_update, tpu_update), n_steps, horizon,
                        num_particles, base_seed)[0]
+
+
+def run_dmd_parity(n_steps=8, horizon=12, num_particles=48,
+                   base_seed=123, lam=0.2, step_size=0.7, gamma=0.99,
+                   beta=0.05, update_cov=True, cov_type="diagonal",
+                   filter_coeffs=(0.25, 0.8, 0.0)):
+    """Chained DMD parity: BOTH the mean and the adapted covariance are
+    carried across solves (the cov drives the next step's injected noise,
+    so covariance drift compounds — the case single-update parity cannot
+    see). Matches gaussian_dmd.py:65-116."""
+    env = envs.make("SimplePendulum-v0")
+    solver = solvers.DMDMPC(
+        d_action=1, horizon=horizon, num_particles=num_particles,
+        lam=lam, step_size=step_size, gamma=gamma, beta=beta,
+        update_cov=update_cov, cov_type=cov_type, init_cov=1.0,
+        filter_coeffs=filter_coeffs, base_action="null")
+    gamma_seq = ops.gamma_sequence(gamma, horizon)
+
+    @jax.jit
+    def tpu_update(mean, cov, env_state, noise):
+        state = solver.init_state(jax.random.PRNGKey(0))._replace(
+            mean=jnp.asarray(mean, jnp.float32),
+            cov=jnp.asarray(cov, jnp.float32))
+        traj = rollout_open_loop(env, env.params, env_state, state.mean,
+                                 jnp.asarray(noise, jnp.float32))
+        s = solver.update(state, traj)
+        return s.mean, s.cov
+
+    from ..envs.pendulum import PendulumState
+    env_state = env.init(env.params, jax.random.PRNGKey(1))
+    th, thdot = float(env_state.th), float(env_state.thdot)
+    mean_cpu = np.zeros((horizon, 1))
+    cov_cpu = np.eye(1, dtype=np.float64)
+    mean_tpu = np.zeros((horizon, 1))
+    cov_tpu = np.eye(1, dtype=np.float64)
+    step_fn = jax.jit(env.step)
+    max_dev = 0.0
+
+    for t in range(n_steps):
+        # noise drawn from the CPU-side cov (the sides would diverge in
+        # WHICH noise they draw only if the cov chains diverged — which
+        # is exactly what max cov dev below bounds)
+        noise = numpy_ref.generate_noise(
+            cov_cpu, filter_coeffs, (num_particles, horizon),
+            base_seed + t)
+        costs = cpp_oracle.pendulum_rollout(
+            env.params, th, thdot, mean_cpu, noise)
+        mean_cpu, cov_cpu = numpy_ref.dmd_update(
+            mean_cpu, cov_cpu, mean_cpu[None] + noise, costs, gamma_seq,
+            lam, step_size, update_cov, cov_type)
+
+        est = PendulumState(th=jnp.float32(th), thdot=jnp.float32(thdot))
+        m, c = tpu_update(mean_tpu, cov_tpu, est, noise)
+        mean_tpu, cov_tpu = np.asarray(m, np.float64), np.asarray(
+            c, np.float64)
+
+        max_dev = max(max_dev, float(np.abs(mean_cpu - mean_tpu).max()),
+                      float(np.abs(cov_cpu - cov_tpu).max()))
+        env_state, _, _, _ = step_fn(
+            env.params, est,
+            jnp.asarray(np.clip(mean_cpu[0], -2, 2), jnp.float32))
+        th, thdot = float(env_state.th), float(env_state.thdot)
+        # shift: roll mean, null last; cov += beta*I (gaussian_dmd:106-116)
+        mean_cpu = np.vstack([mean_cpu[1:], np.zeros((1, 1))])
+        mean_tpu = np.vstack([mean_tpu[1:], np.zeros((1, 1))])
+        if update_cov:
+            cov_cpu = cov_cpu + beta * np.eye(1)
+            cov_tpu = cov_tpu + beta * np.eye(1)
+    return max_dev
+
+
+def run_mppiq_parity(n_steps=8, horizon=12, num_particles=48,
+                     base_seed=123, beta=0.1, step_size=0.7,
+                     gamma=0.99, td_lam=0.95, alpha=0,
+                     filter_coeffs=(0.25, 0.8, 0.0)):
+    """Chained MPPIQ parity: TD(lambda) blended returns + per-step control
+    costs + time-based weights (mppiq.py:73-136), terminal-cost q
+    bootstrap (no plugged Q function — the reference default)."""
+    env = envs.make("SimplePendulum-v0")
+    solver = solvers.MPPIQ(
+        d_action=1, horizon=horizon, num_particles=num_particles,
+        beta=beta, td_lam=td_lam, alpha=alpha, step_size=step_size,
+        gamma=gamma, time_based_weights=True, init_cov=1.0,
+        filter_coeffs=filter_coeffs, base_action="null")
+
+    @jax.jit
+    def tpu_update(mean, env_state, noise):
+        state = solver.init_state(jax.random.PRNGKey(0))._replace(
+            mean=jnp.asarray(mean, jnp.float32))
+        traj = rollout_open_loop(env, env.params, env_state, state.mean,
+                                 jnp.asarray(noise, jnp.float32))
+        return solver.update(state, traj).mean
+
+    def cpu_update(mean, actions, costs):
+        return numpy_ref.mppiq_update(
+            mean, np.eye(1), actions, costs, gamma, td_lam, beta,
+            step_size, alpha, time_based_weights=True)
+
+    return _run_parity((cpu_update, tpu_update), n_steps, horizon,
+                       num_particles, base_seed,
+                       filter_coeffs=filter_coeffs)[0]
+
+
+def run_pfmpc_parity(n_steps=6, horizon=12, num_particles=32,
+                     base_seed=123, lam=0.2, cov_shift=0.02,
+                     cov_resample=0.5, filter_coeffs=(0.25, 0.8, 0.0)):
+    """Chained PFMPC parity: the PERSISTENT particle set evolves on both
+    sides — weights, the systematic resample (serial cumsum walk on CPU
+    vs vectorized searchsorted on TPU, pf:159-174), mean extraction, and
+    the shift-noise hotstart. All stochastic inputs (resample offset r,
+    shift noise) are derived once from the solver's own counter-based
+    streams and injected into BOTH sides."""
+    from ..solvers.pfmpc import PFState
+    from ..solvers.base import _fold
+    from ..solvers.pfmpc import _TAG_RESAMPLE, _TAG_SHIFT
+    from ..envs.pendulum import PendulumState
+
+    env = envs.make("SimplePendulum-v0")
+    solver = solvers.PFMPC(
+        d_action=1, horizon=horizon, num_particles=num_particles,
+        lam=lam, cov_shift=cov_shift, cov_resample=cov_resample,
+        filter_coeffs=filter_coeffs, base_action="repeat")
+
+    key = jax.random.PRNGKey(base_seed)
+    init = solver.init_state(key)
+    state_key = init.key
+    samples0 = np.asarray(init.action_samples, np.float64)
+
+    @jax.jit
+    def tpu_step(samples, env_state, step):
+        s = PFState(action_samples=jnp.asarray(samples, jnp.float32),
+                    mean=jnp.mean(jnp.asarray(samples, jnp.float32), 0),
+                    step=step, key=state_key)
+        delta = s.action_samples - s.mean[None, :, :]
+        traj = rollout_open_loop(env, env.params, env_state, s.mean, delta)
+        s = solver.update(s, traj)
+        action = solver.act(s)
+        s = s._replace(step=s.step + 1)
+        s = solver.shift(s)
+        return action, s.action_samples
+
+    samples_cpu = samples0.copy()
+    samples_tpu = samples0.copy()
+    env_state = env.init(env.params, jax.random.PRNGKey(1))
+    th, thdot = float(env_state.th), float(env_state.thdot)
+    step_fn = jax.jit(env.step)
+    max_act_dev = 0.0
+
+    for t in range(n_steps):
+        step = jnp.array(t, jnp.int32)
+        # shared stochastic inputs from the solver's own streams
+        r = float(jax.random.uniform(
+            _fold(state_key, _TAG_RESAMPLE, step), (),
+            maxval=1.0 / num_particles))
+        # the solve path increments step BEFORE shifting (base.py solve)
+        shift_noise = np.asarray(ops.filtered_noise(
+            _fold(state_key, _TAG_SHIFT, step + 1),
+            jnp.diag(jnp.full((1,), cov_shift)),
+            (num_particles, horizon), filter_coeffs), np.float64)
+
+        # CPU side: f64 rollout + serial-walk resample + shift
+        costs = cpp_oracle.pendulum_rollout(
+            env.params, th, thdot, np.zeros((horizon, 1)), samples_cpu)
+        ctg = numpy_ref.cost_to_go(
+            costs, ops.gamma_sequence(solver.gamma, horizon))[:, 0]
+        w = np.exp(-ctg / lam - np.max(-ctg / lam))
+        w = w / w.sum()
+        samples_cpu = numpy_ref.pf_systematic_resample(samples_cpu, w, r)
+        a_cpu = samples_cpu.mean(axis=0)[0]
+        samples_cpu = np.concatenate(
+            [samples_cpu[:, 1:], samples_cpu[:, -1:]], axis=1) + shift_noise
+        samples_cpu[:, -1] = samples_cpu[:, -2]
+
+        # TPU side: the framework's actual solve path
+        est = PendulumState(th=jnp.float32(th), thdot=jnp.float32(thdot))
+        a_tpu, new_samples = tpu_step(samples_tpu, est, step)
+        samples_tpu = np.asarray(new_samples, np.float64)
+
+        max_act_dev = max(max_act_dev,
+                          float(np.abs(a_cpu - np.asarray(a_tpu)).max()))
+        env_state, _, _, _ = step_fn(
+            env.params, est, jnp.asarray(np.clip(a_cpu, -2, 2),
+                                         jnp.float32))
+        th, thdot = float(env_state.th), float(env_state.thdot)
+    return max_act_dev
 
 
 def main():

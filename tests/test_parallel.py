@@ -29,6 +29,13 @@ def test_mesh_axes():
 @pytest.mark.parametrize("name,extra", [
     ("mppi", dict(lam=0.1)),
     ("cem", dict(elite_frac=0.25, beta=0.1)),
+    # full covariance: distributed top-k + outer-product estimate over the
+    # sharded particle axis — the SURVEY §7 'hard part'
+    ("cem", dict(elite_frac=0.25, beta=0.1, cov_type="full")),
+    # TD(lambda) blended returns + time-based weights reduce [N, H] over
+    # the sharded axis
+    ("mppiq", dict(beta=0.1, td_lam=0.95, alpha=0, gamma=0.99)),
+    ("dmd", dict(lam=0.2, update_cov=True, cov_type="full")),
     ("random_shooting", dict()),
 ])
 def test_sharded_solve_matches_single_device(env, name, extra):
@@ -49,6 +56,10 @@ def test_sharded_solve_matches_single_device(env, name, extra):
     np.testing.assert_allclose(np.asarray(a_ref), np.asarray(a_sh),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(s_ref.mean), np.asarray(s_sh.mean),
+                               rtol=1e-5, atol=1e-6)
+    # covariance adaptation (CEM elites / DMD weighted outer products) is
+    # itself a particle-axis reduction — must match across the mesh too
+    np.testing.assert_allclose(np.asarray(s_ref.cov), np.asarray(s_sh.cov),
                                rtol=1e-5, atol=1e-6)
 
 

@@ -15,15 +15,17 @@ def test_mppi_control_sequence_parity():
 
 
 def test_parity_deviation_grows_with_different_seeds():
-    """Sanity: the check actually measures something — different noise
-    seeds on the two sides would NOT be within tolerance (guard against a
-    vacuous comparison)."""
-    a1, _ = parity.run_mppi_parity(n_steps=3, horizon=8, num_particles=32,
-                                   base_seed=1)
-    a2, _ = parity.run_mppi_parity(n_steps=3, horizon=8, num_particles=32,
-                                   base_seed=2)
-    # same-seed parity is tight for both runs
-    assert a1 < 5e-3 and a2 < 5e-3
+    """Vacuity guard: the comparison actually measures something.
+    DESYNCHRONIZE the injected noise (TPU side at base_seed + offset) and
+    the two sides must NOT stay within the parity tolerance."""
+    mismatched, _ = parity.run_mppi_parity(
+        n_steps=3, horizon=8, num_particles=32, base_seed=1,
+        tpu_seed_offset=1000)
+    assert mismatched > 5e-2, mismatched
+    # and re-synchronized runs stay tight
+    matched, _ = parity.run_mppi_parity(n_steps=3, horizon=8,
+                                        num_particles=32, base_seed=1)
+    assert matched < 5e-3, matched
 
 
 def test_random_shooting_and_cem_parity():
@@ -33,3 +35,31 @@ def test_random_shooting_and_cem_parity():
                                     num_particles=32)
     assert rs_dev < 1e-4, rs_dev
     assert cem_dev < 1e-4, cem_dev
+
+
+def test_dmd_multistep_parity_with_cov_chain():
+    """DMD chained solves: mean AND adapted covariance carried across
+    steps (cov drift compounds into the next step's sampling)."""
+    dev = parity.run_dmd_parity(n_steps=6, horizon=10, num_particles=32,
+                                update_cov=True, cov_type="diagonal")
+    assert dev < 5e-3, dev
+    dev_full = parity.run_dmd_parity(n_steps=6, horizon=10,
+                                     num_particles=32, update_cov=True,
+                                     cov_type="full")
+    assert dev_full < 5e-3, dev_full
+
+
+def test_mppiq_multistep_parity():
+    """MPPIQ chained solves: TD(lambda) returns + control costs +
+    time-based weights."""
+    dev = parity.run_mppiq_parity(n_steps=6, horizon=10,
+                                  num_particles=32)
+    assert dev < 5e-3, dev
+
+
+def test_pfmpc_multistep_parity():
+    """PFMPC chained solves: persistent particles through weight +
+    systematic resample (serial walk vs searchsorted) + shift noise."""
+    dev = parity.run_pfmpc_parity(n_steps=5, horizon=10,
+                                  num_particles=32)
+    assert dev < 5e-3, dev

@@ -2,11 +2,26 @@
 >= 100 solves/s per chip on reacher_7dof-v0; falls back to the pendulum
 model if the arm model is not yet registered).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Extra accountability fields (VERDICT r1 items 2-3):
+  value        — MEDIAN over WINDOWS timing windows (stable across runs;
+                 best-of-3 rode the remote-tunnel jitter and drifted >20%
+                 between reports)
+  spread_pct   — (p75 - p25) / median * 100 over the windows
+  flops_per_solve / bytes_per_solve — XLA cost_analysis of the compiled
+                 solve executable
+  achieved_tflops / mfu_pct_bf16 — achieved FLOP/s at the median rate,
+                 and its fraction of the v5e bf16 MXU peak (197 TFLOP/s;
+                 the solve is dominated by f32 elementwise rollout
+                 physics, so this is a roofline position statement, not a
+                 matmul-efficiency claim)
+  particle_substeps_per_s — N * H * substeps * solves/s, the physics
+                 throughput behind the solves/s number
 """
 from __future__ import annotations
 
 import json
+import statistics
 import time
 
 import jax
@@ -16,6 +31,9 @@ from mjmpc_tpu import envs, solvers
 HORIZON = 32
 NUM_PARTICLES = 4096
 TARGET_SOLVES_PER_S = 100.0
+WINDOWS = 7
+SOLVES_PER_WINDOW = 100
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def main():
@@ -31,29 +49,47 @@ def main():
     solver_state = solver.init_state(jax.random.PRNGKey(0))
     env_state = env.init(env.params, jax.random.PRNGKey(1))
 
-    # Warmup / compile.
+    # Compile once, keep the executable for cost analysis.
+    lowered = solve.lower(env.params, env_state, solver_state)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis() or {}
+    if isinstance(cost, list):  # older jax returns [dict]
+        cost = cost[0] if cost else {}
+    flops = float(cost.get("flops", 0.0))
+    bytes_accessed = float(cost.get("bytes accessed", 0.0))
+
+    # Warmup.
     action, _, solver_state = solve(env.params, env_state, solver_state)
     jax.block_until_ready(action)
 
-    # Timed: chained solves (state donated — the production control loop).
-    # Best of 3 windows: the remote-TPU tunnel adds dispatch jitter that a
-    # single window under-reports.
-    n_solves = 100
-    best = float("inf")
-    for _ in range(3):
+    rates = []
+    for _ in range(WINDOWS):
         start = time.perf_counter()
-        for _ in range(n_solves):
+        for _ in range(SOLVES_PER_WINDOW):
             action, _, solver_state = solve(env.params, env_state,
                                             solver_state)
         jax.block_until_ready(action)
-        best = min(best, time.perf_counter() - start)
+        rates.append(SOLVES_PER_WINDOW / (time.perf_counter() - start))
 
-    solves_per_s = n_solves / best
+    rates.sort()
+    median = statistics.median(rates)
+    q1 = rates[len(rates) // 4]
+    q3 = rates[(3 * len(rates)) // 4]
+    spread_pct = 100.0 * (q3 - q1) / median
+    achieved = flops * median
+
     print(json.dumps({
         "metric": f"mppi_solves_per_s[{name},H={HORIZON},N={NUM_PARTICLES}]",
-        "value": round(solves_per_s, 2),
+        "value": round(median, 2),
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / TARGET_SOLVES_PER_S, 3),
+        "vs_baseline": round(median / TARGET_SOLVES_PER_S, 3),
+        "spread_pct": round(spread_pct, 2),
+        "flops_per_solve": flops,
+        "bytes_per_solve": bytes_accessed,
+        "achieved_tflops": round(achieved / 1e12, 4),
+        "mfu_pct_bf16": round(100.0 * achieved / V5E_BF16_PEAK_FLOPS, 3),
+        "particle_substeps_per_s": round(
+            NUM_PARTICLES * HORIZON * median, 0),
     }))
 
 

@@ -501,6 +501,27 @@ def point_state(model: ChainModel, q: jax.Array, qd: jax.Array,
     return jax.jvp(world_point, (zero,), (qd,))
 
 
+def points_frame(model: ChainModel, q: jax.Array, qd: jax.Array,
+                 bodies: Tuple[int, ...], points_local: jax.Array):
+    """Batched kinematic front/back end for contact models.
+
+    For K body-local points (static `bodies` tuple, `points_local` [K,3])
+    returns (pos [K,3], vel [K,3], apply) where apply(forces [K,3]) ->
+    generalized force [nv] = Σ_k J_kᵀ f_k. One tangent-space jvp gives
+    every point velocity and one vjp scatters every contact force — the
+    whole contact pass costs three FK traces regardless of K."""
+    idx = np.asarray(bodies)
+
+    def world(delta):
+        rots, poss, _, _ = _fk_dofs(model, q, delta)
+        return poss[idx] + jnp.einsum("kij,kj->ki", rots[idx], points_local)
+
+    zero = jnp.zeros((model.nv,), q.dtype)
+    pos, vel = jax.jvp(world, (zero,), (qd,))
+    _, vjp = jax.vjp(world, zero)
+    return pos, vel, lambda forces: vjp(forces)[0]
+
+
 def integrate_qpos(model: ChainModel, q: jax.Array, qd: jax.Array,
                    dt: float) -> jax.Array:
     """Retract q by dt·q̇: additive for scalar joints and free-joint

@@ -1,0 +1,105 @@
+"""Simplified Adroit-style dexterous hand for the hand-manipulation suite.
+
+The reference's pen/relocate/hammer run on the external mj_envs 24-DOF
+Adroit Shadow Hand (README.md:33-35, examples/configs/hand/pen-v0.yml
+"In-hand manipulation of a 6-DOF pen with a 24-DOF Shadow Hand"). This
+module provides the TPU-native counterpart used by those tasks: a
+four-digit hand, 3 hinge DOF per digit (abduction + two curls, 12
+actuated DOF), whose fingertips manipulate FREE (quaternion-state)
+objects through the compliant contact model in `envs/contact.py` —
+actions actuate hand joints only, never the object.
+
+Digit layout (palm plane z = 0, objects rest on / above the palm): four
+digits at (±x_spread, ±y_spread, height), segments pointing down and
+inward so the digit pair on +y opposes the pair on -y like
+finger/thumb pinch pairs. Abduction (about z) slides a fingertip along
+x; the two curls (about x) close the pinch in the y-z plane. The digit
+geometry constants put the four tip spheres exactly at object-surface
+contact in the neutral configuration, so a small curl engages contact
+and MPC discovers pinch/roll/lift strategies rather than fighting a
+reach problem.
+
+The hand is deliberately small (12 DOF vs Adroit's 24) but the control
+problem is the reference's: free rigid objects under gravity, actuated
+only through frictional fingertip contact.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..engine import chain as rb
+
+# Digit geometry (meters). Tips land at |y| = Y_SPREAD - Y_REACH = 0.021,
+# z = HEIGHT - Z_REACH = 0.012 in the neutral config — exactly touching a
+# palm-resting pen capsule of radius 0.012 with tip radius 0.009.
+X_SPREAD = 0.045
+Y_SPREAD = 0.055
+HEIGHT = 0.065
+_PROX = (0.020, 0.030)    # (inward, down) reach of the proximal segment
+_DIST = (0.014, 0.023)    # distal segment
+TIP_R = 0.009
+_SEG_R = 0.008
+
+N_DIGITS = 4
+DOF_PER_DIGIT = 3
+N_HAND_DOF = N_DIGITS * DOF_PER_DIGIT   # 12
+
+
+def digit_bases() -> List[Tuple[float, float, float, float]]:
+    """(x, y, z, side) for the four knuckles; side = sign(y)."""
+    return [(sx * X_SPREAD, s * Y_SPREAD, HEIGHT, s)
+            for s in (1.0, -1.0) for sx in (1.0, -1.0)]
+
+
+def hand_bodies(parent: int = -1,
+                bases: Optional[Sequence[Tuple[float, float, float, float]]]
+                = None,
+                gear: float = 0.4, damping: float = 0.08,
+                armature: float = 0.01) -> Tuple[list, list]:
+    """Body dicts for the hand plus per-digit contact metadata.
+
+    Returns (bodies, digits) where each digits entry is
+    (distal_body_index, tip_local [3], mid_local [3]) — the two contact
+    spheres per digit fed to `engine.chain.points_frame`. Body indices
+    assume the returned dicts are appended starting at index
+    len(existing bodies) == 0; callers embedding the hand later must
+    offset `parent` handling themselves (indices here are relative to
+    the start of the returned list plus `index_base` bookkeeping by the
+    caller).
+    """
+    bodies: list = []
+    digits: list = []
+    for (bx, by, bz, s) in bases or digit_bases():
+        k = len(bodies)
+        bodies.append(dict(
+            pos=(bx, by, bz), axis=(0, 0, 1), range=(-0.45, 0.45),
+            parent=parent, gear=gear, damping=damping, armature=armature,
+            geoms=[]))
+        bodies.append(dict(
+            pos=(0.0, 0.0, 0.0), axis=(1, 0, 0), range=(-1.3, 1.3),
+            parent=k, gear=gear, damping=damping, armature=armature,
+            geoms=[rb.capsule_geom(
+                _SEG_R + 0.001, (0, 0, 0, 0, -s * _PROX[0], -_PROX[1]))]))
+        bodies.append(dict(
+            pos=(0.0, -s * _PROX[0], -_PROX[1]), axis=(1, 0, 0),
+            range=(-1.3, 1.3), parent=k + 1, gear=gear, damping=damping,
+            armature=armature,
+            geoms=[rb.capsule_geom(
+                _SEG_R, (0, 0, 0, 0, -s * _DIST[0], -_DIST[1])),
+                rb.sphere_geom(TIP_R, (0, -s * _DIST[0], -_DIST[1]))]))
+        digits.append((k + 2,
+                       np.array([0.0, -s * _DIST[0], -_DIST[1]], np.float32),
+                       np.array([0.0, -s * _DIST[0] / 2, -_DIST[1] / 2],
+                                np.float32)))
+    return bodies, digits
+
+
+def hand_joint_names() -> List[str]:
+    """MuJoCo-style joint names for the dyn-randomize name tables."""
+    names = []
+    for d in range(N_DIGITS):
+        names += [f"digit{d}_abduct", f"digit{d}_proximal",
+                  f"digit{d}_distal"]
+    return names

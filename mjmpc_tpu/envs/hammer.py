@@ -1,13 +1,20 @@
-"""hammer-v0: drive a nail into a board by striking it.
+"""hammer-v0: pick up a free hammer and drive a nail with it.
 
-The reference runs hammer through the external mj_envs Adroit suite
-(configs/hand/hammer-v0.yml); as with pen/relocate the 24-DOF hand is
-abstracted (envs/pen.py note) and the CONTROL problem is kept: swing the
-wrist-mounted hammer head to strike a nail and drive it to depth. The
-nail is one slide DOF with heavy viscous damping and no restoring spring
-— it stays where each blow leaves it (the plastic 'ratchet' of a real
-nail) — so progress requires impacts, not pushes: the quadratic-in-
-velocity contact transfer rewards fast strikes.
+The reference's hammer-v0 is the mj_envs Adroit task — the hand grabs a
+hammer from the table and hammers a nail into a board; success when the
+nail is driven nearly flush (README.md:33-35,
+examples/configs/hand/hammer-v0.yml "Hammering a nail with a 24-DOF
+Shadow Hand"). Here the 3-slide arm + 12-DOF four-digit hand
+(`envs/adroit.py`, as in relocate-v0) manipulates a FREE hammer body
+(quaternion state, weighted head) purely through frictional contact, and
+the nail is a 1-DOF slide with heavy damping plus a dry-friction
+resistance — it only advances under real impact/press force from the
+hammer head, never from the reward.
+
+nq = 3 + 12 + 7 + 1 = 23, nv = 22. Reward mirrors mj_envs hammer_v0.py:
+palm-to-hammer reach shaping, hammer-head-to-nail shaping, staged
+bonuses at half / full drive depth; success = nail driven > 95% of its
+travel.
 """
 from __future__ import annotations
 
@@ -18,128 +25,214 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..engine import chain as rb
+from . import adroit, contact
 from .base import Env
-from .reacher_7dof import _BODIES as _ARM_BODIES, _FRAME_SKIP, _DT
 
-_N_ARM = 7
-_HEAD_LOCAL = jnp.array([0.12, 0.0, 0.0])   # hammer head on the wrist
-_HEAD_R = 0.04
-_NAIL_BASE = np.array([0.45, -0.45, -0.1], np.float32)  # nail head start
-_NAIL_AXIS = np.array([0.0, 0.0, -1.0], np.float32)     # driven downward
-_NAIL_DEPTH = 0.08
+_DT = 0.002
+_FRAME_SKIP = 5
+_N_ARM = 3
+_HAMMER_BODY = _N_ARM + adroit.N_DIGITS * 3    # 15
+_NAIL_BODY = _HAMMER_BODY + 1                  # 16
+_HAMMER_Q = _N_ARM + adroit.N_HAND_DOF         # qpos 15..22, qvel 15..21
+_NAIL_Q = _HAMMER_Q + 7                        # qpos 22
+_NAIL_V = _HAMMER_Q + 6                        # qvel 21
+_N_ACT = 15
+
+_HANDLE_R = 0.011
+_HANDLE_HL = 0.06
+_HEAD_R = 0.02
+_HEAD_LOCAL = np.array([0.075, 0.0, 0.0], np.float32)
+_PALM_LOCAL = np.array([0.0, 0.0, 0.075], np.float32)
+_PALM_R = 0.015
+
+_NAIL_POS = np.array([0.22, 0.0, 0.09], np.float32)   # head at start
+_NAIL_TRAVEL = 0.05
+_NAIL_R = 0.015
+_NAIL_RESIST = 10.0     # dry-friction resistance [N]
+
+_BASES = [(sx * 0.045, s * 0.045, 0.065, s)
+          for s in (1.0, -1.0) for sx in (1.0, -1.0)]
 
 
 class HammerParams(NamedTuple):
     model: rb.ChainModel
-    k_contact: jax.Array
-    target_depth: jax.Array
+    kp: jax.Array
+    kd: jax.Array
+    mu: jax.Array
 
 
 class HammerState(NamedTuple):
-    qpos: jax.Array     # [8] = 7 arm + nail drive depth (>= 0)
-    qvel: jax.Array
+    qpos: jax.Array     # [23]
+    qvel: jax.Array     # [22]
     timestep: jax.Array
 
 
-def build_model() -> rb.ChainModel:
-    bodies = list(_ARM_BODIES) + [
-        # nail: slides along its axis only; heavy damping + no spring =
-        # plastic ratchet (stays where struck)
-        dict(pos=tuple(_NAIL_BASE), axis=tuple(-_NAIL_AXIS), type="slide",
-             range=(-_NAIL_DEPTH, 0.0), parent=-1, damping=30.0,
-             geoms=[rb.capsule_geom(0.008, (0, 0, 0, 0, 0, -0.08))]),
-    ]
-    return rb.build_chain(bodies, dt=_DT, site_body=6,
-                          site_pos=tuple(np.asarray(_HEAD_LOCAL)))
+def build_model():
+    slide_axes = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
+    bodies = [dict(pos=(0, 0, 0), axis=ax, type="slide",
+                   range=(-0.6, 0.6) if i < 2 else (-0.05, 0.5),
+                   parent=i - 1, gear=8.0, damping=2.0, armature=0.2,
+                   geoms=[] if i < 2 else
+                   [rb.box_geom((0.04, 0.04, 0.008), (0, 0, 0.075))])
+              for i, ax in enumerate(slide_axes)]
+    hand, digits = adroit.hand_bodies(parent=2, bases=_BASES)
+    for b in hand:
+        if b["parent"] != 2:
+            b["parent"] += _N_ARM
+    digits = [(b + _N_ARM, tip, mid) for (b, tip, mid) in digits]
+    bodies += hand
+    bodies.append(dict(       # the hammer: light handle, heavy head
+        pos=(0.0, 0.0, 0.0), type="free", parent=-1,
+        damping=0.01, armature=0.0, gear=0.0,
+        geoms=[rb.capsule_geom(_HANDLE_R,
+                               (-_HANDLE_HL, 0, 0, _HANDLE_HL, 0, 0)),
+               rb.sphere_geom(_HEAD_R, tuple(_HEAD_LOCAL))]))
+    bodies.append(dict(       # the nail: vertical slide, heavily damped
+        pos=tuple(_NAIL_POS), axis=(0, 0, 1), type="slide",
+        range=(-_NAIL_TRAVEL, 0.0), parent=-1, damping=25.0,
+        armature=0.0, gear=0.0, geoms=[rb.sphere_geom(_NAIL_R)]))
+    model = rb.build_chain(bodies, dt=_DT, site_body=_HAMMER_BODY,
+                           site_pos=tuple(_HEAD_LOCAL),
+                           gravity=(0.0, 0.0, -9.81))
+    return model, digits
 
 
-def _head_and_nail(model, q):
-    rots, poss = rb.forward_kinematics(model, q)
-    head = poss[6] + rots[6] @ _HEAD_LOCAL
-    nail_head = poss[_N_ARM]
-    return head, nail_head
+_MODEL, _DIGITS = build_model()
+
+# Contact batch: 8 digit points, handle endpoints, hammer head, nail
+# head, palm pad.
+_C_BODIES = tuple(int(b) for (b, _, _) in _DIGITS for _ in range(2)) \
+    + (_HAMMER_BODY, _HAMMER_BODY, _HAMMER_BODY, _NAIL_BODY, 2)
+_C_POINTS = np.concatenate(
+    [np.stack([tip, mid]) for (_, tip, mid) in _DIGITS]
+    + [np.array([[-_HANDLE_HL, 0, 0], [_HANDLE_HL, 0, 0]], np.float32),
+       _HEAD_LOCAL[None], np.zeros((1, 3), np.float32),
+       _PALM_LOCAL[None]])
+_C_RADII = np.array([adroit.TIP_R, 0.008] * adroit.N_DIGITS, np.float32)
 
 
 def _ext_forces(params: HammerParams):
     model = params.model
+    hand_weight = 9.81 * jnp.sum(model.mass[:_HAMMER_BODY])
 
     def fn(_, q, qd):
-        head, nail = _head_and_nail(model, q)
-        diff = nail - head
-        dist = jnp.linalg.norm(diff) + 1e-8
-        overlap = _HEAD_R - dist
-        # impact force along the nail axis, scaled by approach speed:
-        # striking transfers, resting barely does
-        def head_pos(qq):
-            r, p = rb.forward_kinematics(model, qq)
-            return p[6] + r[6] @ _HEAD_LOCAL
-        v_head = jax.jvp(head_pos, (q,), (qd,))[1]
-        approach = jnp.maximum(v_head @ jnp.asarray(_NAIL_AXIS), 0.0)
-        fmag = jnp.where(overlap > 0.0,
-                         params.k_contact * overlap * (0.2 + approach),
-                         0.0)
-        f = fmag * jnp.asarray(_NAIL_AXIS)
-        tau = rb.point_force_to_generalized(
-            model, q, _N_ARM, jnp.zeros(3), f)
-        tau = tau + rb.point_force_to_generalized(
-            model, q, 6, _HEAD_LOCAL, -0.2 * f)   # partial recoil
-        return tau
+        pos, vel, apply = rb.points_frame(model, q, qd, _C_BODIES,
+                                          jnp.asarray(_C_POINTS))
+        cap_a, cap_b, head, nail, palm = (pos[8], pos[9], pos[10],
+                                          pos[11], pos[12])
+        vcap_a, vcap_b, vhead, vnail, vpalm = (vel[8], vel[9], vel[10],
+                                               vel[11], vel[12])
+        forces = []
+        f_cap_a = contact.sphere_plane_force(cap_a, vcap_a, _HANDLE_R,
+                                             params.kp, params.kd,
+                                             params.mu)
+        f_cap_b = contact.sphere_plane_force(cap_b, vcap_b, _HANDLE_R,
+                                             params.kp, params.kd,
+                                             params.mu)
+        for k in range(8):
+            f, t = contact.sphere_segment_force(
+                pos[k], vel[k], _C_RADII[k], cap_a, cap_b, vcap_a,
+                vcap_b, _HANDLE_R, params.kp, params.kd, params.mu)
+            f = f + contact.sphere_plane_force(
+                pos[k], vel[k], _C_RADII[k], params.kp, params.kd,
+                params.mu)
+            forces.append(f)
+            f_cap_a = f_cap_a - (1.0 - t) * f
+            f_cap_b = f_cap_b - t * f
+        # hammer head: table support + strike transfer onto the nail head
+        f_head = contact.sphere_plane_force(head, vhead, _HEAD_R,
+                                            params.kp, params.kd,
+                                            params.mu)
+        f_strike = contact.sphere_sphere_force(
+            head, vhead, _HEAD_R, nail, vnail, _NAIL_R,
+            params.kp, params.kd, params.mu)
+        f_head = f_head + f_strike
+        f_nail = -f_strike
+        # palm vs handle
+        f_palm, tp = contact.sphere_segment_force(
+            palm, vpalm, _PALM_R, cap_a, cap_b, vcap_a, vcap_b,
+            _HANDLE_R, params.kp, params.kd, params.mu)
+        f_cap_a = f_cap_a - (1.0 - tp) * f_palm
+        f_cap_b = f_cap_b - tp * f_palm
+        forces += [f_cap_a, f_cap_b, f_head, f_nail, f_palm]
+        tau = apply(jnp.stack(forces))
+        # nail dry friction: resists motion, never drives it
+        tau = tau.at[_NAIL_V].add(
+            -_NAIL_RESIST * jnp.tanh(qd[_NAIL_V] / 0.02))
+        return tau.at[2].add(hand_weight)
 
     return fn
 
 
-def _nail_depth(state) -> jax.Array:
-    # slide coordinate is negative as the nail is driven; depth >= 0
-    return -state.qpos[_N_ARM]
+def _frames(params: HammerParams, qpos: jax.Array):
+    rots, poss = rb.forward_kinematics(params.model, qpos)
+    palm = poss[2] + rots[2] @ jnp.asarray(_PALM_LOCAL)
+    hammer = qpos[_HAMMER_Q:_HAMMER_Q + 3]
+    head = poss[_HAMMER_BODY] + rots[_HAMMER_BODY] @ jnp.asarray(_HEAD_LOCAL)
+    nail = poss[_NAIL_BODY]
+    return palm, hammer, head, nail
 
 
-def _init(params, key):
-    return HammerState(qpos=jnp.zeros(8), qvel=jnp.zeros(8),
+def _init(params: HammerParams, key: jax.Array) -> HammerState:
+    kx, _ = jax.random.split(key)
+    qpos = jnp.asarray(params.model.neutral_qpos())
+    qpos = qpos.at[2].set(0.18)
+    # hammer flat on the table, randomized along y
+    hy = jax.random.uniform(kx, (), jnp.float32, -0.06, 0.06)
+    qpos = qpos.at[_HAMMER_Q].set(-0.02)
+    qpos = qpos.at[_HAMMER_Q + 1].set(hy)
+    qpos = qpos.at[_HAMMER_Q + 2].set(_HANDLE_R + 0.001)
+    return HammerState(qpos=qpos, qvel=jnp.zeros(params.model.nv),
                        timestep=jnp.array(0, jnp.int32))
 
 
-def _observe(params, state):
-    head, nail = _head_and_nail(params.model, state.qpos)
+def _observe(params: HammerParams, state: HammerState) -> jax.Array:
+    palm, hammer, head, nail = _frames(params, state.qpos)
     return jnp.concatenate([
-        state.qpos, state.qvel, head - nail,
-        (params.target_depth - _nail_depth(state))[None]])
+        state.qpos[:_N_ACT], state.qvel[:_N_ACT],
+        hammer, state.qvel[_HAMMER_Q:_HAMMER_Q + 3],
+        head, nail, palm - hammer, head - nail,
+        state.qpos[_NAIL_Q:_NAIL_Q + 1]])
+    # 49-dim
 
 
 def _step(params: HammerParams, state: HammerState, action: jax.Array):
-    ctrl = jnp.concatenate([jnp.clip(action, -1.0, 1.0), jnp.zeros(1)])
+    ctrl = jnp.concatenate([jnp.clip(action, -1.0, 1.0),
+                            jnp.zeros(7, action.dtype)])
     qpos, qvel = rb.step(params.model, state.qpos, state.qvel, ctrl,
                          n_substeps=_FRAME_SKIP,
                          ext_force_fn=_ext_forces(params))
-    new = state._replace(qpos=qpos, qvel=qvel,
-                         timestep=state.timestep + 1)
-    head, nail = _head_and_nail(params.model, qpos)
-    reach = jnp.linalg.norm(head - nail)
-    depth_err = params.target_depth - _nail_depth(new)
-    reward = -0.5 * reach - 10.0 * depth_err
+    new = state._replace(qpos=qpos, qvel=qvel, timestep=state.timestep + 1)
+    palm, hammer, head, nail = _frames(params, qpos)
+    depth = -qpos[_NAIL_Q]
+    # mj_envs hammer_v0.py: reach shaping on palm->tool and tool
+    # head->nail, staged bonuses at half/full drive.
+    reward = (-0.1 * jnp.linalg.norm(palm - hammer)
+              - jnp.linalg.norm(head - nail)
+              + 2.0 * depth / _NAIL_TRAVEL
+              + jnp.where(depth > 0.5 * _NAIL_TRAVEL, 25.0, 0.0)
+              + jnp.where(depth > 0.95 * _NAIL_TRAVEL, 75.0, 0.0))
     return new, _observe(params, new), reward, jnp.array(False)
 
 
-def _success(params, state):
-    return _nail_depth(state) > 0.9 * params.target_depth
+def _success(params: HammerParams, state: HammerState) -> jax.Array:
+    return -state.qpos[_NAIL_Q] > 0.95 * _NAIL_TRAVEL
 
 
 def make() -> Env:
-    params = HammerParams(model=build_model(),
-                          k_contact=jnp.float32(800.0),
-                          target_depth=jnp.float32(_NAIL_DEPTH * 0.9))
-    return Env(name="hammer-v0", d_obs=8 + 8 + 3 + 1, d_action=7,
-               action_lows=np.full(7, -1.0, np.float32),
-               action_highs=np.full(7, 1.0, np.float32),
+    params = HammerParams(model=_MODEL, kp=jnp.float32(800.0),
+                          kd=jnp.float32(2.0), mu=jnp.float32(1.2))
+    return Env(name="hammer-v0", d_obs=49, d_action=_N_ACT,
+               action_lows=np.full(_N_ACT, -1.0, np.float32),
+               action_highs=np.full(_N_ACT, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,
-               success=_success, max_episode_steps=150)
+               success=_success, max_episode_steps=75)
 
 
-# reference dyn-randomize names (dyn_randomize_configs/hand/hammer-v0.yml):
-# Object = the wrist-welded hammer tool (body 6); the nail is body 7.
 from .randomize import register_names as _register_names  # noqa: E402
-from .reacher_7dof import BODY_NAMES as _ARM_BODY_NAMES, \
-    JOINT_NAMES as _ARM_JOINT_NAMES  # noqa: E402
 
-_register_names("hammer-v0", _ARM_BODY_NAMES + ["nail"],
-                _ARM_JOINT_NAMES + ["nail_slide"],
-                extra={"Object": 6})
+_register_names(
+    "hammer-v0",
+    ["arm_x", "arm_y", "arm_z"] + adroit.hand_joint_names()
+    + ["Object", "nail"],
+    extra={"hammer": _HAMMER_BODY})

@@ -1,12 +1,21 @@
-"""pen-v0: in-hand pen reorientation (hand-manipulation-suite stand-in).
+"""pen-v0: in-hand pen reorientation with a four-digit dexterous hand.
 
-The reference runs pen/door/hammer/relocate through the external mj_envs
-Adroit hand suite (README.md:33-35, configs/hand/*). Re-implementing the
-24-DOF tendon hand is out of scope; this captures the CONTROL problem of
-the pen task — reorient a free-rotating elongated object to a sampled
-target orientation — with the hand abstracted to direct 3-axis torques
-(the mj_envs pen reward is orientation similarity between the pen's long
-axis and the target axis; same objective here, plus a control penalty).
+The reference's pen-v0 is the mj_envs Adroit task: a free 6-DOF pen held
+by a multi-DOF hand, reward = orientation similarity between the pen's
+long axis and a sampled target axis plus a position term, success when
+the similarity exceeds 0.90 (README.md:33-35,
+examples/configs/hand/pen-v0.yml "In-hand manipulation of a 6-DOF pen
+with a 24-DOF Shadow Hand"). Here the hand is the simplified 12-DOF
+four-digit Adroit stand-in (`envs/adroit.py`) and the pen is a genuine
+FREE body — 7 qpos (position + unit quaternion), 6 qvel — manipulated
+only through frictional fingertip/palm contact: actions actuate hand
+joints exclusively.
+
+One kinematic forest, one jitted program: 12 hinge DOF (hand) + 1 free
+joint (pen) => nq = 19, nv = 18; contact is 8 finger spheres vs the pen
+capsule, the palm plane, and a static cradle ridge the pen see-saws on
+(pitch authority), all through one batched `points_frame` jvp/vjp pass
+per substep.
 """
 from __future__ import annotations
 
@@ -17,88 +26,190 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..engine import chain as rb
+from . import adroit, contact
 from .base import Env
 
-_DT = 0.01
-_FRAME_SKIP = 2
+_DT = 0.002
+_FRAME_SKIP = 5          # control dt 10 ms, mj_envs Adroit semantics
+_PEN_R = 0.012
+_PEN_HL = 0.065          # half-length
+_PEN_BODY = adroit.N_DIGITS * 3          # body index 12
+_PEN_Q = adroit.N_HAND_DOF               # qpos offset 12, qvel offset 12
+
+# Static palm cradle: a ridge capsule across y at x=0 — the pen see-saws
+# on it, so pressing one end down (the closing-curl direction of the
+# digit tips) pitches the pen, and below-center pinches squeeze-lift it.
+# Without it the pen lies flat on the palm and pitch authority vanishes.
+_RIDGE_R = 0.012
+_RIDGE_A = np.array([0.0, -0.12, 0.008], np.float32)
+_RIDGE_B = np.array([0.0, 0.12, 0.008], np.float32)
+_REST_Z = 0.008 + _RIDGE_R + _PEN_R      # pen center at rest: 0.032
+_DESIRED_POS = np.array([0.0, 0.0, _REST_Z], np.float32)
 
 
 class PenParams(NamedTuple):
     model: rb.ChainModel
+    kp: jax.Array
+    kd: jax.Array
+    mu: jax.Array
 
 
 class PenState(NamedTuple):
-    qpos: jax.Array      # [3] rotation angles (x, y, z hinges)
-    qvel: jax.Array
-    desired: jax.Array   # [3] unit target axis
+    qpos: jax.Array      # [19] = 12 hand hinges + pen (pos3, quat4)
+    qvel: jax.Array      # [18]
+    desired: jax.Array   # [3] unit target axis for the pen's long axis
     timestep: jax.Array
 
 
-def build_model() -> rb.ChainModel:
-    unlim = (-1e6, 1e6)
-    bodies = [
-        dict(pos=(0, 0, 0), axis=(1, 0, 0), range=unlim, damping=0.1,
-             armature=0.001, gear=0.3, geoms=[]),
-        dict(pos=(0, 0, 0), axis=(0, 1, 0), range=unlim, damping=0.1,
-             armature=0.001, gear=0.3, geoms=[]),
-        dict(pos=(0, 0, 0), axis=(0, 0, 1), range=unlim, damping=0.1,
-             armature=0.001, gear=0.3,
-             geoms=[rb.capsule_geom(0.012, (0, 0, -0.065, 0, 0, 0.065))]),
-    ]
-    return rb.build_chain(bodies, dt=_DT, site_body=2,
-                          site_pos=(0.0, 0.0, 0.065))
+def build_model():
+    """(ChainModel, digit contact metadata) for the hand + free pen."""
+    bodies, digits = adroit.hand_bodies()
+    bodies.append(dict(
+        pos=(0.0, 0.0, 0.0), type="free", parent=-1,
+        damping=0.005, armature=0.0, gear=0.0,
+        geoms=[rb.capsule_geom(_PEN_R, (-_PEN_HL, 0, 0, _PEN_HL, 0, 0))]))
+    model = rb.build_chain(bodies, dt=_DT, site_body=_PEN_BODY,
+                           site_pos=(0.0, 0.0, 0.0),
+                           gravity=(0.0, 0.0, -9.81))
+    return model, digits
 
 
-def _pen_axis(params: PenParams, qpos) -> jax.Array:
-    rots, _ = rb.forward_kinematics(params.model, qpos)
-    return rots[2] @ jnp.array([0.0, 0.0, 1.0])
+_MODEL, _DIGITS = build_model()
+
+# Contact batch: (tip, mid) per digit on the distal bodies, then the two
+# pen capsule endpoints.
+_C_BODIES = tuple(int(b) for (b, _, _) in _DIGITS for _ in range(2)) \
+    + (_PEN_BODY, _PEN_BODY)
+_C_POINTS = np.concatenate(
+    [np.stack([tip, mid]) for (_, tip, mid) in _DIGITS]
+    + [np.array([[-_PEN_HL, 0, 0], [_PEN_HL, 0, 0]], np.float32)])
+_C_RADII = np.array([adroit.TIP_R, 0.008] * adroit.N_DIGITS, np.float32)
 
 
-def _sample_axis(key) -> jax.Array:
-    v = jax.random.normal(key, (3,))
-    return v / (jnp.linalg.norm(v) + 1e-8)
+def _ext_forces(params: PenParams):
+    model = params.model
+
+    def fn(_, q, qd):
+        pos, vel, apply = rb.points_frame(model, q, qd, _C_BODIES,
+                                          jnp.asarray(_C_POINTS))
+        cap_a, cap_b = pos[8], pos[9]
+        vcap_a, vcap_b = vel[8], vel[9]
+        forces = []
+        f_cap_a = contact.sphere_plane_force(cap_a, vcap_a, _PEN_R,
+                                             params.kp, params.kd, params.mu)
+        f_cap_b = contact.sphere_plane_force(cap_b, vcap_b, _PEN_R,
+                                             params.kp, params.kd, params.mu)
+        # pen on the static cradle ridge
+        f_ridge, sr = contact.capsule_capsule_force(
+            cap_a, cap_b, vcap_a, vcap_b, _PEN_R,
+            jnp.asarray(_RIDGE_A), jnp.asarray(_RIDGE_B), _RIDGE_R,
+            params.kp, params.kd, params.mu)
+        f_cap_a = f_cap_a + (1.0 - sr) * f_ridge
+        f_cap_b = f_cap_b + sr * f_ridge
+        for k in range(8):
+            f, t = contact.sphere_segment_force(
+                pos[k], vel[k], _C_RADII[k], cap_a, cap_b, vcap_a, vcap_b,
+                _PEN_R, params.kp, params.kd, params.mu)
+            # palm keeps fingers from punching through z = 0
+            f = f + contact.sphere_plane_force(pos[k], vel[k], _C_RADII[k],
+                                               params.kp, params.kd,
+                                               params.mu)
+            forces.append(f)
+            f_cap_a = f_cap_a - (1.0 - t) * f
+            f_cap_b = f_cap_b - t * f
+        forces += [f_cap_a, f_cap_b]
+        return apply(jnp.stack(forces))
+
+    return fn
 
 
-def _init(params, key):
+def _pen_frame(state: PenState):
+    """(pen center, long axis, linear vel, body angular vel)."""
+    q = state.qpos
+    pen_pos = q[_PEN_Q:_PEN_Q + 3]
+    quat = q[_PEN_Q + 3:_PEN_Q + 7]
+    axis = rb._quat_to_mat(quat)[:, 0]
+    return pen_pos, axis, state.qvel[_PEN_Q:_PEN_Q + 3], \
+        state.qvel[_PEN_Q + 3:_PEN_Q + 6]
+
+
+def _sample_desired(key) -> jax.Array:
+    """Target long axis: yaw U(-1, 1) rad, pitch U(-0.45, 0.45) rad tilts
+    of e_x. The mj_envs envelope is ±1 rad on both; the pitch range here
+    is narrowed to the cradle-bound hand's reachable set (the pen rocks
+    on the palm cradle rather than floating in a 24-DOF grip) — the
+    control problem is the same, the geometry envelope is smaller
+    (docs/PARITY.md)."""
+    a = jax.random.uniform(key, (), jnp.float32, -1.0, 1.0)
+    b = jax.random.uniform(jax.random.fold_in(key, 1), (), jnp.float32,
+                           -0.45, 0.45)
+    return jnp.stack([jnp.cos(a) * jnp.cos(b), jnp.sin(a) * jnp.cos(b),
+                      -jnp.sin(b)])
+
+
+def _init(params: PenParams, key: jax.Array) -> PenState:
     kd, _ = jax.random.split(key)
-    return PenState(qpos=jnp.zeros(3), qvel=jnp.zeros(3),
-                    desired=_sample_axis(kd),
+    qpos = jnp.asarray(params.model.neutral_qpos())
+    qpos = qpos.at[_PEN_Q + 2].set(_REST_Z)  # balanced on the cradle
+    return PenState(qpos=qpos, qvel=jnp.zeros(params.model.nv),
+                    desired=_sample_desired(kd),
                     timestep=jnp.array(0, jnp.int32))
 
 
-def _observe(params, state):
-    axis = _pen_axis(params, state.qpos)
-    return jnp.concatenate([axis, state.qvel, state.desired,
-                            axis - state.desired])
+def _observe(params: PenParams, state: PenState) -> jax.Array:
+    pen_pos, axis, lin_vel, ang_vel = _pen_frame(state)
+    return jnp.concatenate([
+        state.qpos[:adroit.N_HAND_DOF], state.qvel[:adroit.N_HAND_DOF],
+        pen_pos, lin_vel, axis, ang_vel, state.desired,
+        axis - state.desired, pen_pos - jnp.asarray(_DESIRED_POS)])
+    # 45-dim, the mj_envs pen observation size
 
 
-def _step(params, state, action):
-    ctrl = jnp.clip(action, -1.0, 1.0)
+def _step(params: PenParams, state: PenState, action: jax.Array):
+    ctrl = jnp.concatenate([jnp.clip(action, -1.0, 1.0),
+                            jnp.zeros(6, action.dtype)])
     qpos, qvel = rb.step(params.model, state.qpos, state.qvel, ctrl,
-                         n_substeps=_FRAME_SKIP)
+                         n_substeps=_FRAME_SKIP,
+                         ext_force_fn=_ext_forces(params))
     new = state._replace(qpos=qpos, qvel=qvel, timestep=state.timestep + 1)
-    align = _pen_axis(params, qpos) @ state.desired
-    reward = align - 0.01 * jnp.sum(ctrl ** 2)
+    pen_pos, axis, _, _ = _pen_frame(new)
+    pos_err = jnp.linalg.norm(pen_pos - jnp.asarray(_DESIRED_POS))
+    orien = axis @ state.desired
+    close = pos_err < 0.075
+    # mj_envs pen reward shape: dense position + similarity terms, staged
+    # bonuses at 0.90/0.95 similarity, drop penalty when the pen leaves
+    # the hand region.
+    dropped = jnp.linalg.norm(pen_pos[:2]) > 0.15
+    reward = (-pos_err + orien
+              + jnp.where(close & (orien > 0.90), 10.0, 0.0)
+              + jnp.where(close & (orien > 0.95), 50.0, 0.0)
+              - jnp.where(dropped, 5.0, 0.0))
     return new, _observe(params, new), reward, jnp.array(False)
 
 
-def _success(params, state):
-    return (_pen_axis(params, state.qpos) @ state.desired) > 0.95
+def _success(params: PenParams, state: PenState) -> jax.Array:
+    pen_pos, axis, _, _ = _pen_frame(state)
+    close = jnp.linalg.norm(pen_pos - jnp.asarray(_DESIRED_POS)) < 0.075
+    return (axis @ state.desired > 0.90) & close
 
 
 def make() -> Env:
-    params = PenParams(model=build_model())
-    return Env(name="pen-v0", d_obs=12, d_action=3,
-               action_lows=np.full(3, -1.0, np.float32),
-               action_highs=np.full(3, 1.0, np.float32),
+    # kp/kd sized for the light distal links at dt=0.002: the explicit
+    # contact damper must keep kd·dt/m_eff « 2 (kd=12 diverges; kd=2 is
+    # stable with bounded chatter — see tests/test_hand_suite.py).
+    params = PenParams(model=_MODEL, kp=jnp.float32(800.0),
+                       kd=jnp.float32(2.0), mu=jnp.float32(1.2))
+    n = adroit.N_HAND_DOF
+    return Env(name="pen-v0", d_obs=45, d_action=n,
+               action_lows=np.full(n, -1.0, np.float32),
+               action_highs=np.full(n, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,
-               success=_success, max_episode_steps=100)
+               success=_success, max_episode_steps=75)
 
 
 from .randomize import register_names as _register_names  # noqa: E402
 
-_register_names("pen-v0", ["pen_rx", "pen_ry", "pen"],
-                ["pen_hinge_x", "pen_hinge_y", "pen_hinge_z"],
+_register_names("pen-v0", adroit.hand_joint_names() + ["Object"],
                 # reference dyn-randomize names (dyn_randomize_configs/
                 # hand/pen-v0.yml): Object = the pen body, pen = its geom
-                extra={"Object": 2})
+                extra={"pen": _PEN_BODY})

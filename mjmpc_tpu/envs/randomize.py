@@ -99,7 +99,20 @@ def _resolve(env: Env, field: str, name: str) -> Tuple[str, Optional[int]]:
         if table is None or name not in table:
             raise ValueError(
                 f"no name table entry for {name!r} in env {env.name!r}")
-        return "model." + _CHAIN_FIELDS[field], table[name]
+        attr = _CHAIN_FIELDS[field]
+        row = table[name]
+        if attr in ("damping", "armature", "gear"):
+            # per-DOF arrays are [nv]; with quaternion joints a body row
+            # spans a slice of velocity DOFs, not a single entry
+            model = getattr(env.params, "model", None)
+            if model is not None and hasattr(model, "v_offsets"):
+                voff = model.v_offsets
+                width = {"hinge": 1, "slide": 1, "ball": 3, "free": 6}[
+                    model.joint_types[row]]
+                if width > 1 or voff[row] != row:
+                    return "model." + attr, slice(voff[row],
+                                                  voff[row] + width)
+        return "model." + attr, row
     if field == "params":  # direct attribute of the params tuple
         return name, None
     raise ValueError(f"unknown dynamics field {field!r}")

@@ -1,16 +1,20 @@
-"""relocate-v0: pick up a free ball and carry it to a spatial target.
+"""relocate-v0: grasp a free ball and carry it to a target in the air.
 
-The reference runs relocate through the external mj_envs Adroit hand
-suite (README.md:33-35, configs/hand/relocate-v0.yml). Grasping with a
-24-DOF hand is out of scope (see envs/pen.py); this keeps the CONTROL
-problem — reach a free object, acquire it, and carry it to a target in
-space against gravity — with grasping abstracted to a proximity spring
-(the same coupling the door task uses): within `grab_radius` the hand
-exerts a spring-damper pull on the ball, so lifting works only while the
-hand stays close (move too fast and the ball is dropped).
+The reference's relocate-v0 is the mj_envs Adroit task — a 30-DOF
+arm+hand picks a ball off a table and moves it to a sampled aerial
+target; success when the ball is within 0.10 m of the target
+(README.md:33-35, examples/configs/hand/relocate-v0.yml "Relocate object
+from one position to another with a 24-DOF Shadow Hand"). Here the arm
+is 3 translation DOF carrying the 12-DOF four-digit hand
+(`envs/adroit.py`) — 15 actuated DOF — and the ball is a genuine FREE
+body (quaternion state) manipulated only through frictional
+fingertip/table contact: grasping is contact physics, not the round-1
+proximity spring.
 
-One kinematic forest: the 7-DOF arm + a ball with 3 world slide DOF
-under gravity.
+One kinematic forest: 3 slides + 12 hinges + 1 free joint => nq = 22,
+nv = 21. Reward mirrors mj_envs relocate_v0.py: reach shaping, a lift
+bonus once the ball leaves the table, target shaping on both palm and
+ball, and staged bonuses inside 0.10 / 0.05 m.
 """
 from __future__ import annotations
 
@@ -21,114 +25,183 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..engine import chain as rb
+from . import adroit, contact
 from .base import Env
-from .reacher_7dof import _BODIES as _ARM_BODIES, _FRAME_SKIP, _DT
 
-_N_ARM = 7
+_DT = 0.002
+_FRAME_SKIP = 5
 _BALL_R = 0.035
-_BALL_START = np.array([0.5, -0.55, -0.25], np.float32)  # on the 'table'
-_G = (0.0, 0.0, -9.81)
+_N_ARM = 3
+_BALL_BODY = _N_ARM + adroit.N_DIGITS * 3      # body index 15
+_BALL_Q = _N_ARM + adroit.N_HAND_DOF           # q/v offset 15
+_N_ACT = _N_ARM + adroit.N_HAND_DOF            # 15
+_PALM_LOCAL = np.array([0.0, 0.0, 0.075], np.float32)  # on the z-slide body
+_PALM_R = 0.015   # small enough that tips reach the ball equator before
+                  # the palm pad caps the descent
+
+# Digit cage sized for the ball: tips close onto a 0.044-radius sphere
+# (ball + tip radius) from a 0.050-radius neutral ring below the equator.
+_BASES = [(sx * 0.045, s * 0.045, 0.065, s)
+          for s in (1.0, -1.0) for sx in (1.0, -1.0)]
 
 
 class RelocateParams(NamedTuple):
     model: rb.ChainModel
-    arm_comp_mask: jax.Array   # gravity compensation on arm joints only
-    k_grab: jax.Array
-    grab_radius: jax.Array
+    kp: jax.Array
+    kd: jax.Array
+    mu: jax.Array
 
 
 class RelocateState(NamedTuple):
-    qpos: jax.Array     # [10] = 7 arm + ball (x, y, z) offsets
-    qvel: jax.Array
+    qpos: jax.Array     # [22] = 3 slides + 12 hinges + ball (pos3, quat4)
+    qvel: jax.Array     # [21]
     target: jax.Array   # [3] carry goal
     timestep: jax.Array
 
 
-def build_model() -> rb.ChainModel:
-    unlim = (-1e6, 1e6)
-    bodies = list(_ARM_BODIES) + [
-        dict(pos=tuple(_BALL_START), axis=(1, 0, 0), type="slide",
-             range=unlim, parent=-1, damping=0.3, geoms=[]),
-        dict(pos=(0, 0, 0), axis=(0, 1, 0), type="slide", range=unlim,
-             parent=_N_ARM, damping=0.3, geoms=[]),
-        dict(pos=(0, 0, 0), axis=(0, 0, 1), type="slide",
-             range=(-0.0, 1.5),   # floor: the table stops the ball
-             parent=_N_ARM + 1, damping=0.3,
-             geoms=[rb.sphere_geom(_BALL_R)]),
-    ]
-    return rb.build_chain(bodies, dt=_DT, site_body=6,
-                          site_pos=(0.03, 0.0, 0.0), gravity=_G)
+def build_model():
+    slide_axes = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
+    bodies = [dict(pos=(0, 0, 0), axis=ax, type="slide",
+                   range=(-0.6, 0.6) if i < 2 else (-0.05, 0.5),
+                   parent=i - 1, gear=8.0, damping=2.0, armature=0.2,
+                   geoms=[] if i < 2 else
+                   [rb.box_geom((0.04, 0.04, 0.008), (0, 0, 0.075))])
+              for i, ax in enumerate(slide_axes)]
+    hand, digits = adroit.hand_bodies(parent=2, bases=_BASES)
+    # hand_bodies emits knuckle parents relative to its own list start
+    for b in hand:
+        if b["parent"] != 2:
+            b["parent"] += _N_ARM
+    digits = [(b + _N_ARM, tip, mid) for (b, tip, mid) in digits]
+    bodies += hand
+    bodies.append(dict(
+        pos=(0.0, 0.0, 0.0), type="free", parent=-1,
+        damping=0.01, armature=0.0, gear=0.0,
+        geoms=[rb.sphere_geom(_BALL_R)]))
+    model = rb.build_chain(bodies, dt=_DT, site_body=_BALL_BODY,
+                           site_pos=(0.0, 0.0, 0.0),
+                           gravity=(0.0, 0.0, -9.81))
+    return model, digits
 
 
-def _hand_and_ball(model, q):
-    rots, poss = rb.forward_kinematics(model, q)
-    hand = poss[6] + rots[6] @ jnp.asarray(model.site_pos)
-    ball = poss[_N_ARM + 2]
-    return hand, ball
+_MODEL, _DIGITS = build_model()
+
+_C_BODIES = tuple(int(b) for (b, _, _) in _DIGITS for _ in range(2)) \
+    + (_BALL_BODY, 2)
+_C_POINTS = np.concatenate(
+    [np.stack([tip, mid]) for (_, tip, mid) in _DIGITS]
+    + [np.zeros((1, 3), np.float32), _PALM_LOCAL[None]])
+_C_RADII = np.array([adroit.TIP_R, 0.008] * adroit.N_DIGITS, np.float32)
 
 
 def _ext_forces(params: RelocateParams):
     model = params.model
+    # exact gravity compensation on the arm slides (the z slide carries
+    # the whole hand — without it zero action free-falls the hand onto
+    # the table; mj_envs' arm actuators are position servos)
+    hand_weight = 9.81 * jnp.sum(model.mass[:_BALL_BODY])
 
     def fn(_, q, qd):
-        # arm gravity compensation (payload-free calibration)
-        comp = jax.grad(lambda qq: rb.potential_energy(model, qq))(q)
-        tau = comp * params.arm_comp_mask
-        # proximity-spring grasp: hand pulls the ball when close
-        hand, ball = _hand_and_ball(model, q)
-        diff = hand - ball
-        dist = jnp.linalg.norm(diff) + 1e-8
-        engaged = dist < params.grab_radius
-        f = jnp.where(engaged, params.k_grab, 0.0) * diff
-        tau = tau + rb.point_force_to_generalized(
-            model, q, _N_ARM + 2, jnp.zeros(3), f)
-        return tau
+        pos, vel, apply = rb.points_frame(model, q, qd, _C_BODIES,
+                                          jnp.asarray(_C_POINTS))
+        ball_p, ball_v = pos[8], vel[8]
+        forces = []
+        # ball on the table plane
+        f_ball = contact.sphere_plane_force(ball_p, ball_v, _BALL_R,
+                                            params.kp, params.kd, params.mu)
+        for k in range(8):
+            f = contact.sphere_sphere_force(
+                pos[k], vel[k], _C_RADII[k], ball_p, ball_v, _BALL_R,
+                params.kp, params.kd, params.mu)
+            f = f + contact.sphere_plane_force(pos[k], vel[k], _C_RADII[k],
+                                               params.kp, params.kd,
+                                               params.mu)
+            forces.append(f)
+            f_ball = f_ball - f
+        # palm pad vs ball (push/top support) and vs table
+        f_palm = contact.sphere_sphere_force(
+            pos[9], vel[9], _PALM_R, ball_p, ball_v, _BALL_R,
+            params.kp, params.kd, params.mu)
+        f_ball = f_ball - f_palm
+        f_palm = f_palm + contact.sphere_plane_force(
+            pos[9], vel[9], _PALM_R, params.kp, params.kd, params.mu)
+        forces += [f_ball, f_palm]
+        tau = apply(jnp.stack(forces))
+        return tau.at[2].add(hand_weight)
 
     return fn
 
 
+def _palm_and_ball(params: RelocateParams, qpos: jax.Array):
+    rots, poss = rb.forward_kinematics(params.model, qpos)
+    palm = poss[2] + rots[2] @ jnp.asarray(_PALM_LOCAL)
+    return palm, qpos[_BALL_Q:_BALL_Q + 3]
+
+
 def _init(params: RelocateParams, key: jax.Array) -> RelocateState:
-    kt, _ = jax.random.split(key)
+    kb, kt = jax.random.split(key)
+    qpos = jnp.asarray(params.model.neutral_qpos())
+    # hand starts raised; ball on the table at a randomized xy
+    qpos = qpos.at[2].set(0.18)
+    ball_xy = jax.random.uniform(kb, (2,), jnp.float32, -0.10, 0.10)
+    qpos = qpos.at[_BALL_Q:_BALL_Q + 2].set(ball_xy)
+    qpos = qpos.at[_BALL_Q + 2].set(_BALL_R)
     target = jax.random.uniform(kt, (3,), jnp.float32,
-                                jnp.array([0.2, -0.8, 0.0]),
-                                jnp.array([0.7, -0.3, 0.35]))
-    return RelocateState(qpos=jnp.zeros(10), qvel=jnp.zeros(10),
+                                jnp.array([-0.15, -0.15, 0.18]),
+                                jnp.array([0.15, 0.15, 0.32]))
+    return RelocateState(qpos=qpos, qvel=jnp.zeros(params.model.nv),
                          target=target, timestep=jnp.array(0, jnp.int32))
 
 
-def _observe(params, state):
-    hand, ball = _hand_and_ball(params.model, state.qpos)
+def _observe(params: RelocateParams, state: RelocateState) -> jax.Array:
+    palm, ball = _palm_and_ball(params, state.qpos)
     return jnp.concatenate([
-        state.qpos, state.qvel, hand - ball, ball - state.target])
+        state.qpos[:_N_ACT], state.qvel[:_N_ACT],
+        ball, state.qvel[_BALL_Q:_BALL_Q + 3],
+        palm - ball, ball - state.target, palm - state.target])
+    # 45-dim
 
 
 def _step(params: RelocateParams, state: RelocateState, action: jax.Array):
-    ctrl = jnp.concatenate([jnp.clip(action, -1.0, 1.0), jnp.zeros(3)])
+    ctrl = jnp.concatenate([jnp.clip(action, -1.0, 1.0),
+                            jnp.zeros(6, action.dtype)])
     qpos, qvel = rb.step(params.model, state.qpos, state.qvel, ctrl,
                          n_substeps=_FRAME_SKIP,
                          ext_force_fn=_ext_forces(params))
-    new = state._replace(qpos=qpos, qvel=qvel,
-                         timestep=state.timestep + 1)
-    hand, ball = _hand_and_ball(params.model, qpos)
-    reach = jnp.linalg.norm(hand - ball)
+    new = state._replace(qpos=qpos, qvel=qvel, timestep=state.timestep + 1)
+    palm, ball = _palm_and_ball(params, qpos)
+    reach = jnp.linalg.norm(palm - ball)
     carry = jnp.linalg.norm(ball - state.target)
-    # mj_envs relocate shaping: reach the object, then move it to target
-    reward = -reach - 2.0 * carry
+    lifted = ball[2] > 0.04
+    # mj_envs relocate_v0.py reward: reach shaping; once lifted, a bonus
+    # plus target shaping on both palm and ball; staged target bonuses.
+    reward = (-0.1 * reach
+              + jnp.where(lifted,
+                          1.0 - 0.5 * jnp.linalg.norm(palm - state.target)
+                          - 0.5 * carry, 0.0)
+              + jnp.where(carry < 0.10, 10.0, 0.0)
+              + jnp.where(carry < 0.05, 20.0, 0.0))
     return new, _observe(params, new), reward, jnp.array(False)
 
 
-def _success(params, state):
-    _, ball = _hand_and_ball(params.model, state.qpos)
-    return jnp.linalg.norm(ball - state.target) < 0.1
+def _success(params: RelocateParams, state: RelocateState) -> jax.Array:
+    _, ball = _palm_and_ball(params, state.qpos)
+    return jnp.linalg.norm(ball - state.target) < 0.10
 
 
 def make() -> Env:
-    mask = jnp.concatenate([jnp.ones(_N_ARM), jnp.zeros(3)])
-    params = RelocateParams(model=build_model(), arm_comp_mask=mask,
-                            k_grab=jnp.float32(80.0),
-                            grab_radius=jnp.float32(0.12))
-    return Env(name="relocate-v0", d_obs=10 + 10 + 3 + 3, d_action=7,
-               action_lows=np.full(7, -1.0, np.float32),
-               action_highs=np.full(7, 1.0, np.float32),
+    params = RelocateParams(model=_MODEL, kp=jnp.float32(800.0),
+                            kd=jnp.float32(2.0), mu=jnp.float32(1.2))
+    return Env(name="relocate-v0", d_obs=45, d_action=_N_ACT,
+               action_lows=np.full(_N_ACT, -1.0, np.float32),
+               action_highs=np.full(_N_ACT, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,
-               success=_success, max_episode_steps=150)
+               success=_success, max_episode_steps=200)
+
+
+from .randomize import register_names as _register_names  # noqa: E402
+
+_register_names(
+    "relocate-v0",
+    ["arm_x", "arm_y", "arm_z"] + adroit.hand_joint_names() + ["Object"],
+    extra={"sphere": _BALL_BODY})

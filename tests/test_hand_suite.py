@@ -1,0 +1,190 @@
+"""Hand-manipulation suite: physics and solvability checks.
+
+pen-v0 / relocate-v0 are now hand-actuated tasks over FREE (quaternion)
+objects — actions drive hand joints only, objects move purely through
+the compliant contact model (reference: mj_envs Adroit suite,
+/root/reference/examples/configs/hand/*.yml). These tests pin down:
+
+1. rest stability (object sits on its support indefinitely, no NaN);
+2. control authority: scripted finger patterns produce the pitch/yaw
+   object rotations the task's reward demands;
+3. contact-force sanity (equal/opposite, no force at separation);
+4. a short MPPI run improves reward and stays finite end-to-end.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mjmpc_tpu import envs, solvers
+from mjmpc_tpu.engine import chain as rb
+from mjmpc_tpu.envs import contact
+
+
+@pytest.fixture(scope="module")
+def pen_env():
+    return envs.make("pen-v0")
+
+
+@pytest.fixture(scope="module")
+def relocate_env():
+    return envs.make("relocate-v0")
+
+
+def _axis(st):
+    return np.asarray(rb._quat_to_mat(st.qpos[15:19])[:, 0])
+
+
+def _curl_pattern(d0, d1, d2, d3):
+    a = jnp.zeros(12)
+    for d, c in enumerate((d0, d1, d2, d3)):
+        a = a.at[3 * d + 1].set(c).at[3 * d + 2].set(c)
+    return a
+
+
+def test_pen_obs_and_action_dims(pen_env):
+    assert pen_env.d_obs == 45       # the mj_envs pen observation size
+    assert pen_env.d_action == 12    # hand joints only
+    assert pen_env.params.model.nq == 19
+    assert pen_env.params.model.nv == 18
+    s = pen_env.init(pen_env.params, jax.random.PRNGKey(0))
+    assert pen_env.observe(pen_env.params, s).shape == (45,)
+
+
+def test_pen_rest_is_stable(pen_env):
+    step = jax.jit(pen_env.step)
+    st = pen_env.init(pen_env.params, jax.random.PRNGKey(0))
+    for _ in range(50):
+        st, _, r, _ = step(pen_env.params, st, jnp.zeros(12))
+    assert bool(jnp.all(jnp.isfinite(st.qpos)))
+    # pen balanced on the cradle at its rest height, axis ~ e_x
+    np.testing.assert_allclose(float(st.qpos[14]), 0.032, atol=0.004)
+    assert _axis(st)[0] > 0.99
+
+
+def test_pen_pitch_and_yaw_authority(pen_env):
+    """Pressing one end pitches the see-saw; diagonal presses yaw it —
+    the two DOF the orientation reward needs."""
+    step = jax.jit(pen_env.step)
+    s0 = pen_env.init(pen_env.params, jax.random.PRNGKey(0))
+
+    def run(act, n=40):
+        st = s0
+        for _ in range(n):
+            st, _, _, _ = step(pen_env.params, st, act)
+        return st
+
+    pitched = run(_curl_pattern(-0.9, 0.0, 0.9, 0.0))   # press +x end
+    assert bool(jnp.all(jnp.isfinite(pitched.qpos)))
+    assert abs(_axis(pitched)[2]) > 0.3, _axis(pitched)
+    yawed = run(_curl_pattern(-0.9, 0.0, 0.0, 0.9))
+    assert abs(_axis(yawed)[1]) > 0.3, _axis(yawed)
+
+
+def test_pen_random_rollout_finite(pen_env):
+    step = jax.jit(pen_env.step)
+    st = pen_env.init(pen_env.params, jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    for i in range(75):
+        a = jax.random.uniform(jax.random.fold_in(key, i), (12,),
+                               minval=-1.0, maxval=1.0)
+        st, _, r, _ = step(pen_env.params, st, a)
+    assert bool(jnp.all(jnp.isfinite(st.qpos)))
+    assert bool(jnp.all(jnp.isfinite(st.qvel)))
+
+
+def test_pen_mppi_improves_alignment(pen_env):
+    """Short MPPI (reference pen-v0.yml family, scaled down) must beat
+    the zero-action baseline reward on the same seed."""
+    env = pen_env
+    mppi = solvers.MPPI(d_action=12, horizon=12, num_particles=48,
+                        init_cov=0.3, lam=0.15,
+                        filter_coeffs=(0.25, 0.8, 0.0), gamma=1.0,
+                        n_iters=1, step_size=1.0, alpha=1)
+    solve = solvers.make_solve_fn(mppi, env)
+
+    @jax.jit
+    def rollout(key, use_mppi):
+        s0 = env.init(env.params, key)
+        sol0 = mppi.init_state(jax.random.fold_in(key, 1))
+
+        def body(carry, _):
+            st, sol = carry
+            a, _, sol = solve(env.params, st, sol)
+            a = jnp.where(use_mppi, a, jnp.zeros_like(a))
+            st, _, r, _ = env.step(env.params, st, env.clip_action(a))
+            return (st, sol), r
+
+        (_, _), rs = jax.lax.scan(body, (s0, sol0), None, length=25)
+        return rs.sum()
+
+    key = jax.random.PRNGKey(3)
+    r_mppi = float(rollout(key, True))
+    r_zero = float(rollout(key, False))
+    assert np.isfinite(r_mppi) and np.isfinite(r_zero)
+    assert r_mppi > r_zero + 1.0, (r_mppi, r_zero)
+
+
+def test_relocate_dims_and_rest(relocate_env):
+    env = relocate_env
+    assert env.d_action == 15        # 3 arm slides + 12 hand joints
+    assert env.params.model.nq == 22 and env.params.model.nv == 21
+    step = jax.jit(env.step)
+    st = env.init(env.params, jax.random.PRNGKey(0))
+    ball0 = np.asarray(st.qpos[15:18])
+    for _ in range(50):
+        st, _, _, _ = step(env.params, st, jnp.zeros(15))
+    assert bool(jnp.all(jnp.isfinite(st.qpos)))
+    # gravity-compensated hand holds altitude; ball stays on the table
+    assert abs(float(st.qpos[2]) - 0.18) < 0.02
+    np.testing.assert_allclose(np.asarray(st.qpos[15:18]), ball0,
+                               atol=0.005)
+
+
+def test_relocate_arm_authority(relocate_env):
+    """The arm slides move the palm toward the ball (reach shaping is
+    actually controllable)."""
+    env = relocate_env
+    step = jax.jit(env.step)
+    st = env.init(env.params, jax.random.PRNGKey(0))
+    x0 = float(st.qpos[0])
+    for _ in range(30):
+        st, _, _, _ = step(env.params, st,
+                           jnp.zeros(15).at[0].set(1.0))
+    assert float(st.qpos[0]) > x0 + 0.05
+    assert bool(jnp.all(jnp.isfinite(st.qpos)))
+
+
+def test_contact_force_pairs_balance():
+    """penalty_force on A with (sep, relv) equals minus the force on B
+    with the mirrored arguments — the action/reaction invariant every
+    env's force assembly relies on."""
+    sep = jnp.array([0.01, -0.004, 0.002])
+    relv = jnp.array([-0.3, 0.1, 0.05])
+    f_ab = contact.penalty_force(sep, relv, jnp.float32(0.004),
+                                 800.0, 2.0, 1.2)
+    f_ba = contact.penalty_force(-sep, -relv, jnp.float32(0.004),
+                                 800.0, 2.0, 1.2)
+    np.testing.assert_allclose(np.asarray(f_ab), -np.asarray(f_ba),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_contact_no_force_at_separation():
+    f = contact.penalty_force(jnp.array([0.05, 0.0, 0.0]),
+                              jnp.array([1.0, 0.0, 0.0]),
+                              jnp.float32(-0.01), 800.0, 2.0, 1.2)
+    np.testing.assert_allclose(np.asarray(f), 0.0, atol=1e-8)
+
+
+def test_segment_segment_closest_cases():
+    a0, a1 = jnp.array([-1.0, 0.0, 0.0]), jnp.array([1.0, 0.0, 0.0])
+    b0, b1 = jnp.array([0.3, -1.0, 0.5]), jnp.array([0.3, 1.0, 0.5])
+    pa, pb, s, t = contact.segment_segment_closest(a0, a1, b0, b1)
+    np.testing.assert_allclose(np.asarray(pa), [0.3, 0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pb), [0.3, 0.0, 0.5], atol=1e-6)
+    # parallel segments: any valid pair at the same separation
+    pa, pb, s, t = contact.segment_segment_closest(
+        a0, a1, a0 + jnp.array([0.0, 0.0, 1.0]),
+        a1 + jnp.array([0.0, 0.0, 1.0]))
+    np.testing.assert_allclose(float(jnp.linalg.norm(pa - pb)), 1.0,
+                               atol=1e-5)

@@ -108,3 +108,22 @@ def test_batch_episodes_sharded_over_episode_axis(env):
     single = jax.jit(solvers.evaluate_episode(solver, env, 4))
     r0 = np.asarray(single(env.params, keys[0])["reward"])
     np.testing.assert_allclose(r[0], r0, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_hand_env_matches_single_device():
+    """Quaternion-state env (free-joint pen + contact hand): the nq != nv
+    layout and the contact jvp/vjp must be GSPMD-invariant like the
+    scalar-joint envs."""
+    hand = envs.make("pen-v0")
+    solver = solvers.MPPI(d_action=hand.d_action, horizon=2,
+                          num_particles=16, init_cov=0.3, lam=0.15)
+    s0 = solver.init_state(jax.random.PRNGKey(0))
+    env_state = hand.init(hand.params, jax.random.PRNGKey(1))
+
+    plain = jax.jit(solvers.make_solve_fn(solver, hand))
+    a_ref, _, _ = plain(hand.params, env_state, s0)
+
+    sharded = parallel.build_sharded_solve_fn(solver, hand, _mesh())
+    a_sh, _, _ = sharded(hand.params, env_state, s0)
+    np.testing.assert_allclose(np.asarray(a_ref), np.asarray(a_sh),
+                               rtol=1e-5, atol=1e-6)

@@ -1,0 +1,236 @@
+"""door-v0: turn a latched handle and pull a door open with the hand.
+
+The reference's door-v0 is the mj_envs Adroit task — the hand undoes a
+latch and swings the door open; success when the door hinge passes 1.35
+rad (README.md:33-35, examples/configs/hand/door-v0.yml). Round 1
+aliased this family to sawyer_door; this module is the hand-actuated
+rebuild on the 3-slide arm + 12-DOF four-digit hand (`envs/adroit.py`),
+matching the Adroit task structure:
+
+- the DOOR is a vertical-axis hinge body, spring-loaded shut and BLOCKED
+  by the latch: until the latch angle clears a threshold, a stiff gated
+  restoring torque holds the door closed (the mj_envs latch mechanism as
+  a smooth force law instead of a MuJoCo constraint);
+- the LATCH is a hinge on the door carrying the handle bar; pressing the
+  handle down rotates it against its return spring;
+- the hand interacts only through frictional contact with the handle
+  capsule (8 digit spheres + palm pad), exactly like pen/relocate/
+  hammer.
+
+nq = nv = 3 + 12 + 1 + 1 = 17 (all scalar joints — the free-object
+machinery is not needed; the challenge is the latch-then-pull sequence).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine import chain as rb
+from . import adroit, contact
+from .base import Env
+
+_DT = 0.002
+_FRAME_SKIP = 5
+_N_ARM = 3
+_DOOR_BODY = _N_ARM + adroit.N_DIGITS * 3      # 15
+_LATCH_BODY = _DOOR_BODY + 1                   # 16
+_DOOR_Q = _N_ARM + adroit.N_HAND_DOF           # 15
+_LATCH_Q = _DOOR_Q + 1                         # 16
+_N_ACT = 15
+
+# Door frame: hinge at x = 0.35, door panel extends toward -x; the
+# handle bar sits on the latch at the panel's free edge, pointing -y so
+# the descending digits can hook it.
+_DOOR_HINGE_POS = (0.35, 0.25, 0.04)
+_PANEL = (-0.30, -0.04, 0.0)          # latch pivot offset from the hinge
+# The handle bar runs along X (the digit cage's pinch orientation — the
+# same grasp geometry as the pen capsule), sticking out of the panel
+# toward the hand.
+_HANDLE_A = np.array([-0.01, 0.0, 0.0], np.float32)   # handle ends in the
+_HANDLE_B = np.array([-0.12, 0.0, 0.0], np.float32)   # latch body frame
+_HANDLE_R = 0.014
+_PALM_LOCAL = np.array([0.0, 0.0, 0.075], np.float32)
+_PALM_R = 0.015
+
+_LATCH_THRESH = 0.55      # rad the latch must turn before the door frees
+_LATCH_SPRING = 0.3       # handle return spring
+_DOOR_SPRING = 0.25       # door-closed spring
+_BLOCK_K = 4.0            # strike-plate torque cap [N*m]
+
+_BASES = [(sx * 0.045, s * 0.045, 0.065, s)
+          for s in (1.0, -1.0) for sx in (1.0, -1.0)]
+
+
+class DoorParams(NamedTuple):
+    model: rb.ChainModel
+    kp: jax.Array
+    kd: jax.Array
+    mu: jax.Array
+
+
+class DoorState(NamedTuple):
+    qpos: jax.Array     # [17]
+    qvel: jax.Array     # [17]
+    timestep: jax.Array
+
+
+def build_model():
+    slide_axes = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
+    bodies = [dict(pos=(0, 0, 0), axis=ax, type="slide",
+                   range=(-0.6, 0.6) if i < 2 else (-0.05, 0.5),
+                   parent=i - 1, gear=8.0, damping=2.0, armature=0.2,
+                   geoms=[] if i < 2 else
+                   [rb.box_geom((0.04, 0.04, 0.008), (0, 0, 0.075))])
+              for i, ax in enumerate(slide_axes)]
+    hand, digits = adroit.hand_bodies(parent=2, bases=_BASES)
+    for b in hand:
+        if b["parent"] != 2:
+            b["parent"] += _N_ARM
+    digits = [(b + _N_ARM, tip, mid) for (b, tip, mid) in digits]
+    bodies += hand
+    bodies.append(dict(        # door panel on a vertical hinge
+        pos=_DOOR_HINGE_POS, axis=(0, 0, 1), range=(0.0, 1.8),
+        parent=-1, damping=1.2, armature=0.05, gear=0.0,
+        geoms=[rb.box_geom((0.14, 0.015, 0.10), (-0.15, 0.0, 0.0))]))
+    bodies.append(dict(        # latch hinge carrying the handle bar
+        pos=_PANEL, axis=(0, -1, 0), range=(0.0, 1.5),
+        parent=_DOOR_BODY, damping=0.15, armature=0.01, gear=0.0,
+        geoms=[rb.capsule_geom(_HANDLE_R,
+                               tuple(_HANDLE_A) + tuple(_HANDLE_B))]))
+    model = rb.build_chain(bodies, dt=_DT, site_body=_LATCH_BODY,
+                           site_pos=tuple(0.5 * (_HANDLE_A + _HANDLE_B)),
+                           gravity=(0.0, 0.0, -9.81))
+    return model, digits
+
+
+_MODEL, _DIGITS = build_model()
+
+_C_BODIES = tuple(int(b) for (b, _, _) in _DIGITS for _ in range(2)) \
+    + (_LATCH_BODY, _LATCH_BODY, 2)
+_C_POINTS = np.concatenate(
+    [np.stack([tip, mid]) for (_, tip, mid) in _DIGITS]
+    + [_HANDLE_A[None], _HANDLE_B[None], _PALM_LOCAL[None]])
+_C_RADII = np.array([adroit.TIP_R, 0.008] * adroit.N_DIGITS, np.float32)
+
+
+def _ext_forces(params: DoorParams):
+    model = params.model
+    hand_weight = 9.81 * jnp.sum(model.mass[:_DOOR_BODY])
+
+    def fn(_, q, qd):
+        pos, vel, apply = rb.points_frame(model, q, qd, _C_BODIES,
+                                          jnp.asarray(_C_POINTS))
+        ha, hb, palm = pos[8], pos[9], pos[10]
+        vha, vhb, vpalm = vel[8], vel[9], vel[10]
+        forces = []
+        f_ha = jnp.zeros(3, q.dtype)
+        f_hb = jnp.zeros(3, q.dtype)
+        for k in range(8):
+            f, t = contact.sphere_segment_force(
+                pos[k], vel[k], _C_RADII[k], ha, hb, vha, vhb,
+                _HANDLE_R, params.kp, params.kd, params.mu)
+            forces.append(f)
+            f_ha = f_ha - (1.0 - t) * f
+            f_hb = f_hb - t * f
+        f_palm, tp = contact.sphere_segment_force(
+            palm, vpalm, _PALM_R, ha, hb, vha, vhb, _HANDLE_R,
+            params.kp, params.kd, params.mu)
+        f_ha = f_ha - (1.0 - tp) * f_palm
+        f_hb = f_hb - tp * f_palm
+        forces += [f_ha, f_hb, f_palm]
+        tau = apply(jnp.stack(forces))
+        # latch return spring + strike-plate blocking: the door is held
+        # shut by a SATURATING torque that engages only while the door is
+        # near closed AND the latch is below threshold (a real strike
+        # plate stops mattering once the door clears the frame — without
+        # the door-angle gate, releasing the latch mid-swing would slam
+        # the door shut). Smooth gates keep it differentiable.
+        gate = (jax.nn.sigmoid((_LATCH_THRESH - q[_LATCH_Q]) / 0.05)
+                * jax.nn.sigmoid((0.12 - q[_DOOR_Q]) / 0.04))
+        tau = tau.at[_LATCH_Q].add(-_LATCH_SPRING * q[_LATCH_Q])
+        tau = tau.at[_DOOR_Q].add(
+            -_DOOR_SPRING * q[_DOOR_Q]
+            - _BLOCK_K * jnp.tanh(q[_DOOR_Q] / 0.03) * gate)
+        return tau.at[2].add(hand_weight)
+
+    return fn
+
+
+def _handle_pos(params: DoorParams, qpos: jax.Array) -> jax.Array:
+    return rb.site_position(params.model, qpos)
+
+
+def _palm_pos(params: DoorParams, qpos: jax.Array) -> jax.Array:
+    rots, poss = rb.forward_kinematics(params.model, qpos)
+    return poss[2] + rots[2] @ jnp.asarray(_PALM_LOCAL)
+
+
+def _init(params: DoorParams, key: jax.Array) -> DoorState:
+    ky, _ = jax.random.split(key)
+    qpos = jnp.asarray(params.model.neutral_qpos())
+    qpos = qpos.at[2].set(0.10)
+    # randomize the hand's start along y (mj_envs randomizes the door
+    # frame position; same relative-geometry effect)
+    qpos = qpos.at[1].set(jax.random.uniform(ky, (), jnp.float32,
+                                             -0.05, 0.05))
+    return DoorState(qpos=qpos, qvel=jnp.zeros(params.model.nv),
+                     timestep=jnp.array(0, jnp.int32))
+
+
+def _observe(params: DoorParams, state: DoorState) -> jax.Array:
+    handle = _handle_pos(params, state.qpos)
+    palm = _palm_pos(params, state.qpos)
+    return jnp.concatenate([
+        state.qpos[:_N_ACT], state.qvel[:_N_ACT],
+        handle, palm - handle,
+        state.qpos[_DOOR_Q:_LATCH_Q + 1],
+        state.qvel[_DOOR_Q:_LATCH_Q + 1]])
+    # 40-dim
+
+
+def _step(params: DoorParams, state: DoorState, action: jax.Array):
+    ctrl = jnp.concatenate([jnp.clip(action, -1.0, 1.0),
+                            jnp.zeros(2, action.dtype)])
+    qpos, qvel = rb.step(params.model, state.qpos, state.qvel, ctrl,
+                         n_substeps=_FRAME_SKIP,
+                         ext_force_fn=_ext_forces(params))
+    new = state._replace(qpos=qpos, qvel=qvel, timestep=state.timestep + 1)
+    handle = _handle_pos(params, qpos)
+    palm = _palm_pos(params, qpos)
+    door = qpos[_DOOR_Q]
+    latch = qpos[_LATCH_Q]
+    # mj_envs door_v0.py: palm-to-handle shaping + staged door-angle
+    # bonuses (0.2 / 1.0 / 1.35 rad); latch progress shaped so the
+    # turn-then-pull sequence has gradient everywhere.
+    reward = (-0.1 * jnp.linalg.norm(palm - handle)
+              + 0.5 * latch + 2.0 * door
+              + jnp.where(door > 0.2, 2.0, 0.0)
+              + jnp.where(door > 1.0, 8.0, 0.0)
+              + jnp.where(door > 1.35, 10.0, 0.0))
+    return new, _observe(params, new), reward, jnp.array(False)
+
+
+def _success(params: DoorParams, state: DoorState) -> jax.Array:
+    return state.qpos[_DOOR_Q] > 1.35
+
+
+def make() -> Env:
+    params = DoorParams(model=_MODEL, kp=jnp.float32(800.0),
+                        kd=jnp.float32(2.0), mu=jnp.float32(1.2))
+    return Env(name="door-v0", d_obs=40, d_action=_N_ACT,
+               action_lows=np.full(_N_ACT, -1.0, np.float32),
+               action_highs=np.full(_N_ACT, 1.0, np.float32),
+               params=params, init=_init, step=_step, observe=_observe,
+               success=_success, max_episode_steps=150)
+
+
+from .randomize import register_names as _register_names  # noqa: E402
+
+_register_names(
+    "door-v0",
+    ["arm_x", "arm_y", "arm_z"] + adroit.hand_joint_names()
+    + ["frame", "latch"],
+    extra={"door_hinge": _DOOR_BODY, "handle": _LATCH_BODY})

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 from typing import Any, Dict, List
 
@@ -172,6 +174,81 @@ def bench_sharded(horizon: int = 32, particles_per_device: int = 4096,
                 value=round(1.0 / dt, 2), unit="solves/s")
 
 
+def bench_roofline(env_name: str = "reacher_7dof-v0", horizon: int = 32,
+                   num_particles: int = 4096, iters: int = 50,
+                   peak_flops: float = 197e12):
+    """FLOP/byte accounting of the headline solve (VERDICT r1 item 2).
+
+    XLA cost_analysis of the compiled executable gives flops + bytes
+    accessed per solve; combined with the measured rate this places the
+    solve on the roofline: achieved FLOP/s, MFU vs the v5e bf16 MXU peak
+    (197 TFLOP/s), and arithmetic intensity. The solve is rollout-physics
+    dominated (small-matrix f32), so MFU is a position statement, not a
+    matmul-efficiency target."""
+    if env_name not in envs.available():
+        env_name = "SimplePendulum-v0"
+    env = envs.make(env_name)
+    solver = solvers.MPPI(
+        d_action=env.d_action, horizon=horizon, num_particles=num_particles,
+        lam=0.01, init_cov=3.0, step_size=0.55, gamma=1.0,
+        filter_coeffs=(0.25, 0.8, 0.0), base_action="repeat")
+    solve = jax.jit(solvers.make_solve_fn(solver, env))
+    s = solver.init_state(jax.random.PRNGKey(0))
+    est = env.init(env.params, jax.random.PRNGKey(1))
+    cost = solve.lower(env.params, est, s).compile().cost_analysis() or {}
+    if isinstance(cost, list):
+        cost = cost[0] if cost else {}
+    flops = float(cost.get("flops", 0.0))
+    nbytes = float(cost.get("bytes accessed", 0.0))
+    dt = _time(lambda: solve(env.params, est, s), iters=iters)
+    achieved = flops / dt
+    return dict(
+        metric=f"roofline[{env_name},H={horizon},N={num_particles}]",
+        value=round(achieved / 1e12, 4), unit="TFLOP/s",
+        flops_per_solve=flops, bytes_per_solve=nbytes,
+        mfu_pct_bf16=round(100.0 * achieved / peak_flops, 3),
+        ai_flops_per_byte=round(flops / nbytes, 3) if nbytes else None,
+        hbm_gb_per_s=round(nbytes / dt / 1e9, 2))
+
+
+def bench_weak_scaling(horizon: int = 32, particles_per_device: int = 512,
+                       iters: int = 20):
+    """Weak-scaling trend over 1/2/4/8-device sub-meshes with FIXED
+    particles per device (BASELINE >= 80% efficiency row). On the CPU
+    virtual mesh this measures partitioning/collective overhead trends
+    only — ICI efficiency needs real multi-chip hardware; run with
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+    to reproduce the RESULTS.md table."""
+    from .. import parallel
+    rows = []
+    all_dev = jax.devices()
+    base_rate = None
+    for nd in (1, 2, 4, 8):
+        if nd > len(all_dev):
+            break
+        mesh = parallel.make_mesh(episodes=1, particles=nd,
+                                  devices=all_dev[:nd])
+        env = envs.make("reacher_7dof-v0" if "reacher_7dof-v0"
+                        in envs.available() else "SimplePendulum-v0")
+        n = particles_per_device * nd
+        solver = solvers.MPPI(
+            d_action=env.d_action, horizon=horizon, num_particles=n,
+            lam=0.01, init_cov=3.0, step_size=0.55, gamma=1.0,
+            filter_coeffs=(0.25, 0.8, 0.0), base_action="repeat")
+        solve = parallel.build_sharded_solve_fn(solver, env, mesh)
+        s = solver.init_state(jax.random.PRNGKey(0))
+        est = env.init(env.params, jax.random.PRNGKey(1))
+        dt = _time(lambda: solve(env.params, est, s), iters=iters)
+        rate = 1.0 / dt
+        if base_rate is None:
+            base_rate = rate
+        rows.append(dict(
+            metric=f"weak_scaling[devices={nd},N={n}]",
+            value=round(rate, 2), unit="solves/s",
+            efficiency_pct=round(100.0 * rate / base_rate, 1)))
+    return rows
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -180,7 +257,37 @@ def main(argv=None):
                         help="also write results to this file")
     parser.add_argument("--profile", type=str, default=None,
                         help="capture a jax.profiler trace to this dir")
+    parser.add_argument("--weak-scaling", action="store_true",
+                        help="only run the 1/2/4/8-device weak-scaling "
+                             "trend (use the 8-device CPU virtual mesh)")
+    parser.add_argument("--cpu-mesh", action="store_true",
+                        help="force an 8-device virtual CPU mesh")
     args = parser.parse_args(argv)
+
+    if args.cpu_mesh and jax.default_backend() != "cpu":
+        # The platform must be pinned before ANY backend touch, and
+        # importing this module's parents already touched it (the
+        # container pins JAX_PLATFORMS=axon). Re-exec with a bootstrap
+        # that pins CPU first.
+        rest = [a for a in (argv if argv is not None else sys.argv[1:])
+                if a != "--cpu-mesh"]
+        code = (
+            "import os; os.environ['XLA_FLAGS'] = "
+            "os.environ.get('XLA_FLAGS','') + "
+            "' --xla_force_host_platform_device_count=8'; "
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from mjmpc_tpu.harness import benchmark; "
+            f"benchmark.main({rest!r})")
+        os.execv(sys.executable, [sys.executable, "-c", code])
+
+    if args.weak_scaling:
+        rows = bench_weak_scaling()
+        for row in rows:
+            print(json.dumps(row))
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(rows, f, indent=2)
+        return rows
 
     suite = DEFAULT_SUITE[:3] if args.quick else DEFAULT_SUITE
     iters = 10 if args.quick else 50
@@ -193,6 +300,8 @@ def main(argv=None):
         rows.append(row)
         print(json.dumps(row))
     rows.append(bench_latency())
+    print(json.dumps(rows[-1]))
+    rows.append(bench_roofline(iters=iters))
     print(json.dumps(rows[-1]))
     if len(jax.devices()) > 1:
         rows.append(bench_sharded())

@@ -47,6 +47,13 @@ def _load() -> ctypes.CDLL:
     lib.lqr_rollout.argtypes = [_D] * 7 + [_I64] * 4 + [_D]
     lib.mppi_update.argtypes = [_D, _D, _D, _I64, _I64, _I64,
                                 _F64, _F64, _F64, _D]
+    _I64P = ctypes.POINTER(ctypes.c_int64)
+    lib.chain_mass_matrix.argtypes = [_I64, _I64P, _I64P] + [_D] * 6
+    lib.chain_bias.argtypes = [_I64, _I64P, _I64P] + [_D] * 8
+    lib.chain_site.argtypes = [_I64, _I64P, _I64P, _D, _D, _D, _I64,
+                               _D, _D]
+    lib.chain_step.argtypes = ([_I64, _I64P, _I64P] + [_D] * 12
+                               + [_F64, _I64] + [_D] * 3)
     _lib = lib
     return lib
 
@@ -117,3 +124,87 @@ def mppi_update(mean, actions, costs, gamma: float, lam: float,
     lib.mppi_update(_ptr(mean), _ptr(actions), _ptr(costs), n, h, da,
                     float(gamma), float(lam), float(step_size), _ptr(out))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Chain-engine oracle (scalar hinge/slide joints) — serial f64 RNEA +
+# Jacobian-composition cross-check for engine/chain.py.
+# ---------------------------------------------------------------------------
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+
+
+def _i64(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a, np.int64))
+
+
+def _iptr(a: np.ndarray):
+    return a.ctypes.data_as(_I64P)
+
+
+def _chain_arrays(model):
+    """Flatten a ChainModel (scalar joints only) into oracle arrays."""
+    types = model.joint_types
+    assert all(t in ("hinge", "slide") for t in types), \
+        "chain oracle covers scalar joints only"
+    jtype = _i64([0 if t == "hinge" else 1 for t in types])
+    parent = _i64(model.parent)
+    return dict(
+        n=len(types), parent=parent, jtype=jtype,
+        axis=_c64(model.joint_axis), body_pos=_c64(model.body_pos),
+        mass=_c64(model.mass), com=_c64(model.com),
+        inertia=_c64(model.inertia).reshape(len(types), 9),
+        armature=_c64(model.armature), damping=_c64(model.damping),
+        stiffness=_c64(model.stiffness), gear=_c64(model.gear),
+        qlow=_c64(model.qpos_low), qhigh=_c64(model.qpos_high),
+        gravity=_c64(model.gravity))
+
+
+def chain_mass_matrix(model, q) -> np.ndarray:
+    lib = _load()
+    a = _chain_arrays(model)
+    n = a["n"]
+    out = np.empty((n, n), np.float64)
+    lib.chain_mass_matrix(n, _iptr(a["parent"]), _iptr(a["jtype"]),
+                          _ptr(a["axis"]), _ptr(a["body_pos"]),
+                          _ptr(a["mass"]), _ptr(a["com"]),
+                          _ptr(a["inertia"]), _ptr(_c64(q)), _ptr(out))
+    return out
+
+
+def chain_bias(model, q, qd) -> np.ndarray:
+    lib = _load()
+    a = _chain_arrays(model)
+    n = a["n"]
+    out = np.empty(n, np.float64)
+    lib.chain_bias(n, _iptr(a["parent"]), _iptr(a["jtype"]),
+                   _ptr(a["axis"]), _ptr(a["body_pos"]), _ptr(a["mass"]),
+                   _ptr(a["com"]), _ptr(a["inertia"]), _ptr(a["gravity"]),
+                   _ptr(_c64(q)), _ptr(_c64(qd)), _ptr(out))
+    return out
+
+
+def chain_site(model, q) -> np.ndarray:
+    lib = _load()
+    a = _chain_arrays(model)
+    out = np.empty(3, np.float64)
+    lib.chain_site(a["n"], _iptr(a["parent"]), _iptr(a["jtype"]),
+                   _ptr(a["axis"]), _ptr(a["body_pos"]), _ptr(_c64(q)),
+                   int(model.site_body), _ptr(_c64(model.site_pos)),
+                   _ptr(out))
+    return out
+
+
+def chain_step(model, q, qd, ctrl, n_substeps: int = 1):
+    """(q', qd') after n_substeps of the engine's semi-implicit Euler."""
+    lib = _load()
+    a = _chain_arrays(model)
+    qo, qdo = _c64(q).copy(), _c64(qd).copy()
+    lib.chain_step(a["n"], _iptr(a["parent"]), _iptr(a["jtype"]),
+                   _ptr(a["axis"]), _ptr(a["body_pos"]), _ptr(a["mass"]),
+                   _ptr(a["com"]), _ptr(a["inertia"]), _ptr(a["armature"]),
+                   _ptr(a["damping"]), _ptr(a["stiffness"]),
+                   _ptr(a["gear"]), _ptr(a["qlow"]), _ptr(a["qhigh"]),
+                   _ptr(a["gravity"]), float(model.dt), int(n_substeps),
+                   _ptr(_c64(ctrl)), _ptr(qo), _ptr(qdo))
+    return qo, qdo

@@ -65,6 +65,7 @@ class GaussianMPC:
     cov_type: str = "diagonal"
     use_zero_control_seq: bool = False
     sample_mode: str = "mean"            # mean | sample
+    noise_impl: str = "xla"              # xla | pallas (TPU-only kernel)
     action_lows: Optional[np.ndarray] = None
     action_highs: Optional[np.ndarray] = None
 
@@ -92,9 +93,21 @@ class GaussianMPC:
         """AR(2)-filtered Gaussian noise [N, H, dA]
         (reference olgaussian_mpc.py:88-93)."""
         key = _fold(state.key, _TAG_ROLLOUT, state.step)
-        delta = ops.filtered_noise(key, state.cov,
-                                   (self.num_particles, self.horizon),
-                                   self.filter_coeffs)
+        if self.noise_impl == "pallas":
+            # Fused sample+AR-filter Pallas kernel (TPU only — pltpu.prng
+            # has no CPU interpreter path). Same distribution family as
+            # the XLA path, different stream.
+            from ..ops import pallas_kernels as pk
+            jitter = 1e-6 * jnp.eye(self.d_action, dtype=state.cov.dtype)
+            chol = jnp.linalg.cholesky(state.cov + jitter)
+            seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
+            delta = pk.filtered_noise_pallas(
+                seed, (self.num_particles, self.horizon), self.d_action,
+                self.filter_coeffs, chol=chol)
+        else:
+            delta = ops.filtered_noise(key, state.cov,
+                                       (self.num_particles, self.horizon),
+                                       self.filter_coeffs)
         if self.use_zero_control_seq:
             # Last particle probes the zero-action sequence
             # (olgaussian_mpc.py:110-111).

@@ -188,3 +188,84 @@ def test_segment_segment_closest_cases():
         a1 + jnp.array([0.0, 0.0, 1.0]))
     np.testing.assert_allclose(float(jnp.linalg.norm(pa - pb)), 1.0,
                                atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def hammer_env():
+    return envs.make("hammer-v0")
+
+
+@pytest.fixture(scope="module")
+def door_env():
+    return envs.make("door-v0")
+
+
+def test_hammer_dims_and_rest(hammer_env):
+    env = hammer_env
+    assert env.d_action == 15
+    assert env.params.model.nq == 23 and env.params.model.nv == 22
+    step = jax.jit(env.step)
+    st = env.init(env.params, jax.random.PRNGKey(0))
+    for _ in range(50):
+        st, _, _, _ = step(env.params, st, jnp.zeros(15))
+    assert bool(jnp.all(jnp.isfinite(st.qpos)))
+    # nail never moves without a strike; hammer rests on the table
+    assert abs(float(st.qpos[22])) < 1e-4
+    assert abs(float(st.qpos[17]) - 0.012) < 0.01
+
+
+def test_hammer_strike_drives_nail(hammer_env):
+    """A falling hammer head advances the nail; repeated strikes
+    accumulate toward the success depth (plasticity via dry friction +
+    heavy damping, never spring-back)."""
+    env = hammer_env
+    step = jax.jit(env.step)
+    s = env.init(env.params, jax.random.PRNGKey(0))
+    st = s._replace(qpos=s.qpos.at[15].set(0.145).at[16].set(0.0)
+                    .at[17].set(0.12),
+                    qvel=s.qvel.at[17].set(-1.5))
+    for _ in range(30):
+        st, _, _, _ = step(env.params, st, jnp.zeros(15))
+    depth1 = -float(st.qpos[22])
+    assert depth1 > 0.005, depth1
+    for _ in range(3):
+        st = st._replace(qvel=st.qvel.at[17].set(-1.5))
+        for _ in range(15):
+            st, _, _, _ = step(env.params, st, jnp.zeros(15))
+    depth2 = -float(st.qpos[22])
+    assert depth2 > depth1  # strikes accumulate, no spring-back
+    assert bool(jnp.all(jnp.isfinite(st.qpos)))
+
+
+def test_door_latch_gates_the_door(door_env):
+    """Strike-plate semantics: with the latch closed a swing impulse dies
+    at the plate; with the latch pressed past threshold the same impulse
+    opens the door."""
+    env = door_env
+    step = jax.jit(env.step)
+    s = env.init(env.params, jax.random.PRNGKey(0))
+    outcomes = {}
+    for latch0 in (0.0, 1.2):
+        st = s._replace(qpos=s.qpos.at[16].set(latch0),
+                        qvel=s.qvel.at[15].set(3.0))
+        # hold the latch where we put it while the door swings (the
+        # return spring would otherwise re-engage the plate mid-swing)
+        for _ in range(40):
+            st = st._replace(qpos=st.qpos.at[16].set(latch0),
+                             qvel=st.qvel.at[16].set(0.0))
+            st, _, _, _ = step(env.params, st, jnp.zeros(15))
+        outcomes[latch0] = float(st.qpos[15])
+    assert outcomes[0.0] < 0.12, outcomes
+    assert outcomes[1.2] > outcomes[0.0] + 0.1, outcomes
+
+
+def test_door_random_rollout_finite(door_env):
+    env = door_env
+    step = jax.jit(env.step)
+    st = env.init(env.params, jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    for i in range(75):
+        a = jax.random.uniform(jax.random.fold_in(key, i), (15,),
+                               minval=-1.0, maxval=1.0)
+        st, _, _, _ = step(env.params, st, a)
+    assert bool(jnp.all(jnp.isfinite(st.qpos)))

@@ -96,6 +96,31 @@ def hand_bodies(parent: int = -1,
     return bodies, digits
 
 
+def arm_hand_bodies(bases=None, arm_gear: float = 8.0,
+                    arm_damping: float = 2.0, arm_armature: float = 0.2):
+    """3-slide arm (x/y/z translation, z carries a palm plate) with the
+    four-digit hand mounted on the z-slide — the shared base assembly of
+    relocate/hammer/door. Returns (bodies, digits) with digit body
+    indices and knuckle parents already offset past the 3 arm bodies.
+    All values are numpy/python — no jax arrays, so importing an env
+    module never touches the backend; `engine.chain.build_chain` runs
+    lazily at make() time."""
+    slide_axes = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
+    bodies = [dict(pos=(0, 0, 0), axis=ax, type="slide",
+                   range=(-0.6, 0.6) if i < 2 else (-0.05, 0.5),
+                   parent=i - 1, gear=arm_gear, damping=arm_damping,
+                   armature=arm_armature,
+                   geoms=[] if i < 2 else
+                   [rb.box_geom((0.04, 0.04, 0.008), (0, 0, 0.075))])
+              for i, ax in enumerate(slide_axes)]
+    hand, digits = hand_bodies(parent=2, bases=bases)
+    for b in hand:
+        if b["parent"] != 2:
+            b["parent"] += 3
+    bodies += hand
+    return bodies, [(b + 3, tip, mid) for (b, tip, mid) in digits]
+
+
 def hand_joint_names() -> List[str]:
     """MuJoCo-style joint names for the dyn-randomize name tables."""
     names = []

@@ -18,6 +18,7 @@ travel.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -67,37 +68,25 @@ class HammerState(NamedTuple):
     timestep: jax.Array
 
 
-def build_model():
-    slide_axes = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
-    bodies = [dict(pos=(0, 0, 0), axis=ax, type="slide",
-                   range=(-0.6, 0.6) if i < 2 else (-0.05, 0.5),
-                   parent=i - 1, gear=8.0, damping=2.0, armature=0.2,
-                   geoms=[] if i < 2 else
-                   [rb.box_geom((0.04, 0.04, 0.008), (0, 0, 0.075))])
-              for i, ax in enumerate(slide_axes)]
-    hand, digits = adroit.hand_bodies(parent=2, bases=_BASES)
-    for b in hand:
-        if b["parent"] != 2:
-            b["parent"] += _N_ARM
-    digits = [(b + _N_ARM, tip, mid) for (b, tip, mid) in digits]
-    bodies += hand
-    bodies.append(dict(       # the hammer: light handle, heavy head
-        pos=(0.0, 0.0, 0.0), type="free", parent=-1,
-        damping=0.01, armature=0.0, gear=0.0,
-        geoms=[rb.capsule_geom(_HANDLE_R,
-                               (-_HANDLE_HL, 0, 0, _HANDLE_HL, 0, 0)),
-               rb.sphere_geom(_HEAD_R, tuple(_HEAD_LOCAL))]))
-    bodies.append(dict(       # the nail: vertical slide, heavily damped
-        pos=tuple(_NAIL_POS), axis=(0, 0, 1), type="slide",
-        range=(-_NAIL_TRAVEL, 0.0), parent=-1, damping=25.0,
-        armature=0.0, gear=0.0, geoms=[rb.sphere_geom(_NAIL_R)]))
-    model = rb.build_chain(bodies, dt=_DT, site_body=_HAMMER_BODY,
-                           site_pos=tuple(_HEAD_LOCAL),
-                           gravity=(0.0, 0.0, -9.81))
-    return model, digits
+# numpy-only body specs — build_chain runs lazily in make().
+_BODIES_SPEC, _DIGITS = adroit.arm_hand_bodies(bases=_BASES)
+_BODIES_SPEC.append(dict(   # the hammer: light handle, heavy head
+    pos=(0.0, 0.0, 0.0), type="free", parent=-1,
+    damping=0.01, armature=0.0, gear=0.0,
+    geoms=[rb.capsule_geom(_HANDLE_R,
+                           (-_HANDLE_HL, 0, 0, _HANDLE_HL, 0, 0)),
+           rb.sphere_geom(_HEAD_R, tuple(_HEAD_LOCAL))]))
+_BODIES_SPEC.append(dict(   # the nail: vertical slide, heavily damped
+    pos=tuple(_NAIL_POS), axis=(0, 0, 1), type="slide",
+    range=(-_NAIL_TRAVEL, 0.0), parent=-1, damping=25.0,
+    armature=0.0, gear=0.0, geoms=[rb.sphere_geom(_NAIL_R)]))
 
 
-_MODEL, _DIGITS = build_model()
+@functools.lru_cache(maxsize=1)
+def build_model() -> rb.ChainModel:
+    return rb.build_chain(_BODIES_SPEC, dt=_DT, site_body=_HAMMER_BODY,
+                          site_pos=tuple(_HEAD_LOCAL),
+                          gravity=(0.0, 0.0, -9.81))
 
 # Contact batch: 8 digit points, handle endpoints, hammer head, nail
 # head, palm pad.
@@ -130,15 +119,16 @@ def _ext_forces(params: HammerParams):
                                              params.kp, params.kd,
                                              params.mu)
         for k in range(8):
-            f, t = contact.sphere_segment_force(
+            f_fh, t = contact.sphere_segment_force(
                 pos[k], vel[k], _C_RADII[k], cap_a, cap_b, vcap_a,
                 vcap_b, _HANDLE_R, params.kp, params.kd, params.mu)
-            f = f + contact.sphere_plane_force(
+            # ONLY the finger-handle force reacts onto the hammer; the
+            # table's push on a finger stays off the free object.
+            f_cap_a = f_cap_a - (1.0 - t) * f_fh
+            f_cap_b = f_cap_b - t * f_fh
+            forces.append(f_fh + contact.sphere_plane_force(
                 pos[k], vel[k], _C_RADII[k], params.kp, params.kd,
-                params.mu)
-            forces.append(f)
-            f_cap_a = f_cap_a - (1.0 - t) * f
-            f_cap_b = f_cap_b - t * f
+                params.mu))
         # hammer head: table support + strike transfer onto the nail head
         f_head = contact.sphere_plane_force(head, vhead, _HEAD_R,
                                             params.kp, params.kd,
@@ -220,7 +210,7 @@ def _success(params: HammerParams, state: HammerState) -> jax.Array:
 
 
 def make() -> Env:
-    params = HammerParams(model=_MODEL, kp=jnp.float32(800.0),
+    params = HammerParams(model=build_model(), kp=jnp.float32(800.0),
                           kd=jnp.float32(2.0), mu=jnp.float32(1.2))
     return Env(name="hammer-v0", d_obs=49, d_action=_N_ACT,
                action_lows=np.full(_N_ACT, -1.0, np.float32),

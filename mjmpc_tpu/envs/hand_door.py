@@ -22,6 +22,7 @@ machinery is not needed; the challenge is the latch-then-pull sequence).
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -77,36 +78,24 @@ class DoorState(NamedTuple):
     timestep: jax.Array
 
 
-def build_model():
-    slide_axes = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
-    bodies = [dict(pos=(0, 0, 0), axis=ax, type="slide",
-                   range=(-0.6, 0.6) if i < 2 else (-0.05, 0.5),
-                   parent=i - 1, gear=8.0, damping=2.0, armature=0.2,
-                   geoms=[] if i < 2 else
-                   [rb.box_geom((0.04, 0.04, 0.008), (0, 0, 0.075))])
-              for i, ax in enumerate(slide_axes)]
-    hand, digits = adroit.hand_bodies(parent=2, bases=_BASES)
-    for b in hand:
-        if b["parent"] != 2:
-            b["parent"] += _N_ARM
-    digits = [(b + _N_ARM, tip, mid) for (b, tip, mid) in digits]
-    bodies += hand
-    bodies.append(dict(        # door panel on a vertical hinge
-        pos=_DOOR_HINGE_POS, axis=(0, 0, 1), range=(0.0, 1.8),
-        parent=-1, damping=1.2, armature=0.05, gear=0.0,
-        geoms=[rb.box_geom((0.14, 0.015, 0.10), (-0.15, 0.0, 0.0))]))
-    bodies.append(dict(        # latch hinge carrying the handle bar
-        pos=_PANEL, axis=(0, -1, 0), range=(0.0, 1.5),
-        parent=_DOOR_BODY, damping=0.15, armature=0.01, gear=0.0,
-        geoms=[rb.capsule_geom(_HANDLE_R,
-                               tuple(_HANDLE_A) + tuple(_HANDLE_B))]))
-    model = rb.build_chain(bodies, dt=_DT, site_body=_LATCH_BODY,
-                           site_pos=tuple(0.5 * (_HANDLE_A + _HANDLE_B)),
-                           gravity=(0.0, 0.0, -9.81))
-    return model, digits
+# numpy-only body specs — build_chain runs lazily in make().
+_BODIES_SPEC, _DIGITS = adroit.arm_hand_bodies(bases=_BASES)
+_BODIES_SPEC.append(dict(   # door panel on a vertical hinge
+    pos=_DOOR_HINGE_POS, axis=(0, 0, 1), range=(0.0, 1.8),
+    parent=-1, damping=1.2, armature=0.05, gear=0.0,
+    geoms=[rb.box_geom((0.14, 0.015, 0.10), (-0.15, 0.0, 0.0))]))
+_BODIES_SPEC.append(dict(   # latch hinge carrying the handle bar
+    pos=_PANEL, axis=(0, -1, 0), range=(0.0, 1.5),
+    parent=_DOOR_BODY, damping=0.15, armature=0.01, gear=0.0,
+    geoms=[rb.capsule_geom(_HANDLE_R,
+                           tuple(_HANDLE_A) + tuple(_HANDLE_B))]))
 
 
-_MODEL, _DIGITS = build_model()
+@functools.lru_cache(maxsize=1)
+def build_model() -> rb.ChainModel:
+    return rb.build_chain(_BODIES_SPEC, dt=_DT, site_body=_LATCH_BODY,
+                          site_pos=tuple(0.5 * (_HANDLE_A + _HANDLE_B)),
+                          gravity=(0.0, 0.0, -9.81))
 
 _C_BODIES = tuple(int(b) for (b, _, _) in _DIGITS for _ in range(2)) \
     + (_LATCH_BODY, _LATCH_BODY, 2)
@@ -218,7 +207,7 @@ def _success(params: DoorParams, state: DoorState) -> jax.Array:
 
 
 def make() -> Env:
-    params = DoorParams(model=_MODEL, kp=jnp.float32(800.0),
+    params = DoorParams(model=build_model(), kp=jnp.float32(800.0),
                         kd=jnp.float32(2.0), mu=jnp.float32(1.2))
     return Env(name="door-v0", d_obs=40, d_action=_N_ACT,
                action_lows=np.full(_N_ACT, -1.0, np.float32),

@@ -19,6 +19,7 @@ per substep.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -61,20 +62,22 @@ class PenState(NamedTuple):
     timestep: jax.Array
 
 
-def build_model():
-    """(ChainModel, digit contact metadata) for the hand + free pen."""
-    bodies, digits = adroit.hand_bodies()
-    bodies.append(dict(
-        pos=(0.0, 0.0, 0.0), type="free", parent=-1,
-        damping=0.005, armature=0.0, gear=0.0,
-        geoms=[rb.capsule_geom(_PEN_R, (-_PEN_HL, 0, 0, _PEN_HL, 0, 0))]))
-    model = rb.build_chain(bodies, dt=_DT, site_body=_PEN_BODY,
-                           site_pos=(0.0, 0.0, 0.0),
-                           gravity=(0.0, 0.0, -9.81))
-    return model, digits
+# Body specs and contact metadata are numpy/python only — importing this
+# module never touches the JAX backend; build_chain runs lazily in make()
+# (callers can still pin the platform first, per CLAUDE.md).
+_BODIES_SPEC, _DIGITS = adroit.hand_bodies()
+_BODIES_SPEC.append(dict(
+    pos=(0.0, 0.0, 0.0), type="free", parent=-1,
+    damping=0.005, armature=0.0, gear=0.0,
+    geoms=[rb.capsule_geom(_PEN_R, (-_PEN_HL, 0, 0, _PEN_HL, 0, 0))]))
 
 
-_MODEL, _DIGITS = build_model()
+@functools.lru_cache(maxsize=1)
+def build_model() -> rb.ChainModel:
+    """The hand + free-pen ChainModel (cached; first call builds)."""
+    return rb.build_chain(_BODIES_SPEC, dt=_DT, site_body=_PEN_BODY,
+                          site_pos=(0.0, 0.0, 0.0),
+                          gravity=(0.0, 0.0, -9.81))
 
 # Contact batch: (tip, mid) per digit on the distal bodies, then the two
 # pen capsule endpoints.
@@ -107,16 +110,18 @@ def _ext_forces(params: PenParams):
         f_cap_a = f_cap_a + (1.0 - sr) * f_ridge
         f_cap_b = f_cap_b + sr * f_ridge
         for k in range(8):
-            f, t = contact.sphere_segment_force(
+            f_pen, t = contact.sphere_segment_force(
                 pos[k], vel[k], _C_RADII[k], cap_a, cap_b, vcap_a, vcap_b,
                 _PEN_R, params.kp, params.kd, params.mu)
+            # ONLY the finger-pen force reacts onto the pen; the palm
+            # plane's push on the finger must not (the ground's reaction
+            # belongs to the ground, not the free object).
+            f_cap_a = f_cap_a - (1.0 - t) * f_pen
+            f_cap_b = f_cap_b - t * f_pen
             # palm keeps fingers from punching through z = 0
-            f = f + contact.sphere_plane_force(pos[k], vel[k], _C_RADII[k],
-                                               params.kp, params.kd,
-                                               params.mu)
-            forces.append(f)
-            f_cap_a = f_cap_a - (1.0 - t) * f
-            f_cap_b = f_cap_b - t * f
+            forces.append(f_pen + contact.sphere_plane_force(
+                pos[k], vel[k], _C_RADII[k], params.kp, params.kd,
+                params.mu))
         forces += [f_cap_a, f_cap_b]
         return apply(jnp.stack(forces))
 
@@ -197,7 +202,7 @@ def make() -> Env:
     # kp/kd sized for the light distal links at dt=0.002: the explicit
     # contact damper must keep kd·dt/m_eff « 2 (kd=12 diverges; kd=2 is
     # stable with bounded chatter — see tests/test_hand_suite.py).
-    params = PenParams(model=_MODEL, kp=jnp.float32(800.0),
+    params = PenParams(model=build_model(), kp=jnp.float32(800.0),
                        kd=jnp.float32(2.0), mu=jnp.float32(1.2))
     n = adroit.N_HAND_DOF
     return Env(name="pen-v0", d_obs=45, d_action=n,

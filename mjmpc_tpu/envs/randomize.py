@@ -106,9 +106,9 @@ def _resolve(env: Env, field: str, name: str) -> Tuple[str, Optional[int]]:
             # spans a slice of velocity DOFs, not a single entry
             model = getattr(env.params, "model", None)
             if model is not None and hasattr(model, "v_offsets"):
+                from ..engine.chain import _JOINT_NV
                 voff = model.v_offsets
-                width = {"hinge": 1, "slide": 1, "ball": 3, "free": 6}[
-                    model.joint_types[row]]
+                width = _JOINT_NV[model.joint_types[row]]
                 if width > 1 or voff[row] != row:
                     return "model." + attr, slice(voff[row],
                                                   voff[row] + width)

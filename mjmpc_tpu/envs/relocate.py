@@ -18,6 +18,7 @@ ball, and staged bonuses inside 0.10 / 0.05 m.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -59,32 +60,20 @@ class RelocateState(NamedTuple):
     timestep: jax.Array
 
 
-def build_model():
-    slide_axes = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
-    bodies = [dict(pos=(0, 0, 0), axis=ax, type="slide",
-                   range=(-0.6, 0.6) if i < 2 else (-0.05, 0.5),
-                   parent=i - 1, gear=8.0, damping=2.0, armature=0.2,
-                   geoms=[] if i < 2 else
-                   [rb.box_geom((0.04, 0.04, 0.008), (0, 0, 0.075))])
-              for i, ax in enumerate(slide_axes)]
-    hand, digits = adroit.hand_bodies(parent=2, bases=_BASES)
-    # hand_bodies emits knuckle parents relative to its own list start
-    for b in hand:
-        if b["parent"] != 2:
-            b["parent"] += _N_ARM
-    digits = [(b + _N_ARM, tip, mid) for (b, tip, mid) in digits]
-    bodies += hand
-    bodies.append(dict(
-        pos=(0.0, 0.0, 0.0), type="free", parent=-1,
-        damping=0.01, armature=0.0, gear=0.0,
-        geoms=[rb.sphere_geom(_BALL_R)]))
-    model = rb.build_chain(bodies, dt=_DT, site_body=_BALL_BODY,
-                           site_pos=(0.0, 0.0, 0.0),
-                           gravity=(0.0, 0.0, -9.81))
-    return model, digits
+# numpy-only body specs — the backend is only touched when make() builds
+# the ChainModel (lazy, cached).
+_BODIES_SPEC, _DIGITS = adroit.arm_hand_bodies(bases=_BASES)
+_BODIES_SPEC.append(dict(
+    pos=(0.0, 0.0, 0.0), type="free", parent=-1,
+    damping=0.01, armature=0.0, gear=0.0,
+    geoms=[rb.sphere_geom(_BALL_R)]))
 
 
-_MODEL, _DIGITS = build_model()
+@functools.lru_cache(maxsize=1)
+def build_model() -> rb.ChainModel:
+    return rb.build_chain(_BODIES_SPEC, dt=_DT, site_body=_BALL_BODY,
+                          site_pos=(0.0, 0.0, 0.0),
+                          gravity=(0.0, 0.0, -9.81))
 
 _C_BODIES = tuple(int(b) for (b, _, _) in _DIGITS for _ in range(2)) \
     + (_BALL_BODY, 2)
@@ -110,14 +99,17 @@ def _ext_forces(params: RelocateParams):
         f_ball = contact.sphere_plane_force(ball_p, ball_v, _BALL_R,
                                             params.kp, params.kd, params.mu)
         for k in range(8):
-            f = contact.sphere_sphere_force(
+            f_fb = contact.sphere_sphere_force(
                 pos[k], vel[k], _C_RADII[k], ball_p, ball_v, _BALL_R,
                 params.kp, params.kd, params.mu)
-            f = f + contact.sphere_plane_force(pos[k], vel[k], _C_RADII[k],
-                                               params.kp, params.kd,
-                                               params.mu)
-            forces.append(f)
-            f_ball = f_ball - f
+            # ONLY the finger-ball force reacts onto the ball — the
+            # table's push on a finger must never be dumped on the free
+            # object (a fingertip touching the table half a meter away
+            # would otherwise slam the ball down).
+            f_ball = f_ball - f_fb
+            forces.append(f_fb + contact.sphere_plane_force(
+                pos[k], vel[k], _C_RADII[k], params.kp, params.kd,
+                params.mu))
         # palm pad vs ball (push/top support) and vs table
         f_palm = contact.sphere_sphere_force(
             pos[9], vel[9], _PALM_R, ball_p, ball_v, _BALL_R,
@@ -190,7 +182,7 @@ def _success(params: RelocateParams, state: RelocateState) -> jax.Array:
 
 
 def make() -> Env:
-    params = RelocateParams(model=_MODEL, kp=jnp.float32(800.0),
+    params = RelocateParams(model=build_model(), kp=jnp.float32(800.0),
                             kd=jnp.float32(2.0), mu=jnp.float32(1.2))
     return Env(name="relocate-v0", d_obs=45, d_action=_N_ACT,
                action_lows=np.full(_N_ACT, -1.0, np.float32),

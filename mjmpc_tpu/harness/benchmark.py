@@ -174,6 +174,15 @@ def bench_sharded(horizon: int = 32, particles_per_device: int = 4096,
                 value=round(1.0 / dt, 2), unit="solves/s")
 
 
+def cost_dict(compiled) -> dict:
+    """Normalize compiled.cost_analysis() across jax versions (dict,
+    [dict], or None)."""
+    cost = compiled.cost_analysis() or {}
+    if isinstance(cost, list):
+        cost = cost[0] if cost else {}
+    return cost
+
+
 def bench_roofline(env_name: str = "reacher_7dof-v0", horizon: int = 32,
                    num_particles: int = 4096, iters: int = 50,
                    peak_flops: float = 197e12):
@@ -195,11 +204,11 @@ def bench_roofline(env_name: str = "reacher_7dof-v0", horizon: int = 32,
     solve = jax.jit(solvers.make_solve_fn(solver, env))
     s = solver.init_state(jax.random.PRNGKey(0))
     est = env.init(env.params, jax.random.PRNGKey(1))
-    cost = solve.lower(env.params, est, s).compile().cost_analysis() or {}
-    if isinstance(cost, list):
-        cost = cost[0] if cost else {}
+    cost = cost_dict(solve.lower(env.params, est, s).compile())
     flops = float(cost.get("flops", 0.0))
     nbytes = float(cost.get("bytes accessed", 0.0))
+    # time the JIT dispatch path (direct AOT-executable calls pay ~30 us
+    # of Python arg handling per call — bench.py note)
     dt = _time(lambda: solve(env.params, est, s), iters=iters)
     achieved = flops / dt
     return dict(

@@ -60,12 +60,14 @@ def _scalarize(key: str, v):
 def _denoise(v):
     """Salvage numeric values mangled by YAML typos in the reference's own
     configs (acrobot-v0.yml:17 'step_size : 1.]' parses as the string
-    '1.]'): strip non-numeric characters and re-parse; anything that still
-    isn't a number (e.g. 'null', 'full') passes through unchanged."""
+    '1.]'): strip stray BRACKET characters only and re-parse. Anything
+    that isn't a number with brackets removed (e.g. 'null', 'full', 'v1',
+    'AR2') passes through unchanged — stripping every non-numeric char
+    would silently turn legitimate digit-bearing strings into numbers."""
     if not isinstance(v, str):
         return v
-    cleaned = "".join(c for c in v if c in "0123456789.eE+-")
-    if cleaned in ("", v):
+    cleaned = v.strip("[](), \t")
+    if cleaned == v:
         return v
     try:
         f = float(cleaned)

@@ -97,7 +97,9 @@ def test_pen_mppi_improves_alignment(pen_env):
     """Short MPPI (reference pen-v0.yml family, scaled down) must beat
     the zero-action baseline reward on the same seed."""
     env = pen_env
-    mppi = solvers.MPPI(d_action=12, horizon=12, num_particles=48,
+    # full reference settings solve pen at 100% (RESULTS.md); this
+    # scaled-down budget still has to beat doing nothing on the same seed
+    mppi = solvers.MPPI(d_action=12, horizon=16, num_particles=64,
                         init_cov=0.3, lam=0.15,
                         filter_coeffs=(0.25, 0.8, 0.0), gamma=1.0,
                         n_iters=1, step_size=1.0, alpha=1)
@@ -115,7 +117,7 @@ def test_pen_mppi_improves_alignment(pen_env):
             st, _, r, _ = env.step(env.params, st, env.clip_action(a))
             return (st, sol), r
 
-        (_, _), rs = jax.lax.scan(body, (s0, sol0), None, length=25)
+        (_, _), rs = jax.lax.scan(body, (s0, sol0), None, length=35)
         return rs.sum()
 
     key = jax.random.PRNGKey(3)

@@ -57,17 +57,9 @@ def test_peg_metrics_and_success():
     assert not bool(env.success(env.params, s))
 
 
-def test_pen_mpc_aligns():
-    env = envs.make("pen-v0")
-    solver = solvers.MPPI(d_action=3, horizon=16, num_particles=256,
-                          lam=0.05, init_cov=0.5, step_size=0.7,
-                          gamma=1.0, filter_coeffs=(0.25, 0.8, 0.0),
-                          base_action="repeat")
-    ep = jax.jit(solvers.evaluate_episode(solver, env, 40))
-    out = ep(env.params, jax.random.PRNGKey(1))
-    r = np.asarray(out["reward"])
-    # alignment (reward ~ cos angle) must approach 1
-    assert r[-5:].mean() > 0.8, r[-5:].mean()
+# pen-v0 / relocate-v0 / hammer-v0 moved to the hand-actuated
+# Adroit suite in round 2 — their physics/solver tests live in
+# tests/test_hand_suite.py.
 
 
 def test_pusher_mpc_progress():
@@ -87,56 +79,6 @@ def test_door_mpc_opens():
     env = envs.make("sawyer_door-v0")
     solver = solvers.MPPI(d_action=7, horizon=16, num_particles=256,
                           lam=0.02, init_cov=0.4, step_size=0.7,
-                          gamma=1.0, filter_coeffs=(0.25, 0.8, 0.0),
-                          base_action="repeat")
-    ep = jax.jit(solvers.evaluate_episode(solver, env, 40))
-    out = ep(env.params, jax.random.PRNGKey(0))
-    r = np.asarray(out["reward"])
-    assert np.isfinite(r).all()
-    assert r[-5:].mean() > r[:5].mean()
-
-
-def test_relocate_ball_rests_then_lifts():
-    env = envs.make("relocate-v0")
-    from mjmpc_tpu.envs.relocate import _hand_and_ball
-    s = env.init(env.params, jax.random.PRNGKey(0))
-    step = jax.jit(env.step)
-    for _ in range(10):
-        s, obs, r, d = step(env.params, s, jnp.zeros(7))
-    _, ball = _hand_and_ball(env.params.model, s.qpos)
-    assert abs(float(ball[2]) + 0.25) < 0.02  # resting on the table
-    assert np.isfinite(np.asarray(s.qpos)).all()
-
-
-def test_relocate_mpc_progress():
-    env = envs.make("relocate-v0")
-    solver = solvers.MPPI(d_action=7, horizon=16, num_particles=128,
-                          lam=0.05, init_cov=0.4, step_size=0.7,
-                          gamma=1.0, filter_coeffs=(0.25, 0.8, 0.0),
-                          base_action="repeat")
-    ep = jax.jit(solvers.evaluate_episode(solver, env, 40))
-    out = ep(env.params, jax.random.PRNGKey(0))
-    r = np.asarray(out["reward"])
-    assert np.isfinite(r).all()
-    assert r[-5:].mean() > r[:5].mean()
-
-
-def test_hammer_nail_ratchets():
-    """The nail stays put passively and only moves when struck."""
-    env = envs.make("hammer-v0")
-    from mjmpc_tpu.envs.hammer import _nail_depth
-    s = env.init(env.params, jax.random.PRNGKey(0))
-    step = jax.jit(env.step)
-    for _ in range(10):
-        s, obs, r, d = step(env.params, s, jnp.zeros(7))
-    assert abs(float(_nail_depth(s))) < 1e-4
-    assert np.isfinite(np.asarray(s.qpos)).all()
-
-
-def test_hammer_mpc_progress():
-    env = envs.make("hammer-v0")
-    solver = solvers.MPPI(d_action=7, horizon=16, num_particles=128,
-                          lam=0.05, init_cov=0.5, step_size=0.7,
                           gamma=1.0, filter_coeffs=(0.25, 0.8, 0.0),
                           base_action="repeat")
     ep = jax.jit(solvers.evaluate_episode(solver, env, 40))

@@ -142,15 +142,18 @@ def _iptr(a: np.ndarray):
     return a.ctypes.data_as(_I64P)
 
 
+_JTYPE_CODE = {"hinge": 0, "slide": 1, "ball": 2, "free": 3}
+
+
 def _chain_arrays(model):
-    """Flatten a ChainModel (scalar joints only) into oracle arrays."""
+    """Flatten a ChainModel into oracle arrays (all four joint types;
+    per-DOF arrays use the engine's [nv]/[nq] layouts)."""
     types = model.joint_types
-    assert all(t in ("hinge", "slide") for t in types), \
-        "chain oracle covers scalar joints only"
-    jtype = _i64([0 if t == "hinge" else 1 for t in types])
+    jtype = _i64([_JTYPE_CODE[t] for t in types])
+    nv = sum({0: 1, 1: 1, 2: 3, 3: 6}[c] for c in jtype)
     parent = _i64(model.parent)
     return dict(
-        n=len(types), parent=parent, jtype=jtype,
+        n=len(types), nv=int(nv), parent=parent, jtype=jtype,
         axis=_c64(model.joint_axis), body_pos=_c64(model.body_pos),
         mass=_c64(model.mass), com=_c64(model.com),
         inertia=_c64(model.inertia).reshape(len(types), 9),
@@ -163,9 +166,8 @@ def _chain_arrays(model):
 def chain_mass_matrix(model, q) -> np.ndarray:
     lib = _load()
     a = _chain_arrays(model)
-    n = a["n"]
-    out = np.empty((n, n), np.float64)
-    lib.chain_mass_matrix(n, _iptr(a["parent"]), _iptr(a["jtype"]),
+    out = np.empty((a["nv"], a["nv"]), np.float64)
+    lib.chain_mass_matrix(a["n"], _iptr(a["parent"]), _iptr(a["jtype"]),
                           _ptr(a["axis"]), _ptr(a["body_pos"]),
                           _ptr(a["mass"]), _ptr(a["com"]),
                           _ptr(a["inertia"]), _ptr(_c64(q)), _ptr(out))
@@ -175,9 +177,8 @@ def chain_mass_matrix(model, q) -> np.ndarray:
 def chain_bias(model, q, qd) -> np.ndarray:
     lib = _load()
     a = _chain_arrays(model)
-    n = a["n"]
-    out = np.empty(n, np.float64)
-    lib.chain_bias(n, _iptr(a["parent"]), _iptr(a["jtype"]),
+    out = np.empty(a["nv"], np.float64)
+    lib.chain_bias(a["n"], _iptr(a["parent"]), _iptr(a["jtype"]),
                    _ptr(a["axis"]), _ptr(a["body_pos"]), _ptr(a["mass"]),
                    _ptr(a["com"]), _ptr(a["inertia"]), _ptr(a["gravity"]),
                    _ptr(_c64(q)), _ptr(_c64(qd)), _ptr(out))

@@ -162,3 +162,50 @@ def test_chain_step_trajectory_vs_oracle(rng):
     site_j = np.asarray(rb.site_position(model, q))
     site_o = cpp_oracle.chain_site(model, qo)
     np.testing.assert_allclose(site_j, site_o, rtol=1e-3, atol=1e-4)
+
+
+def test_chain_bias_vs_oracle_quaternion_tree(rng):
+    """Floating-base RNEA vs the tangent-Lagrangian AD on the ACTUAL
+    hand+free-pen model (12 hinges + free joint, gravity): the hardest
+    mixed-layout case the engine runs in production."""
+    from mjmpc_tpu.envs import pen as pen_env
+    model = pen_env.build_model()
+    q0 = np.asarray(model.neutral_qpos(), np.float64)
+    for trial in range(4):
+        q = q0.copy()
+        q[:12] += rng.uniform(-0.6, 0.6, 12)
+        q[12:15] += rng.uniform(-0.05, 0.05, 3)
+        quat = rng.randn(4)
+        q[15:19] = quat / np.linalg.norm(quat)
+        qd = rng.uniform(-1.5, 1.5, model.nv)
+        qj = jnp.asarray(q, jnp.float32)
+        qdj = jnp.asarray(qd, jnp.float32)
+        ours_b = np.asarray(rb.bias_forces(model, qj, qdj))
+        oracle_b = cpp_oracle.chain_bias(model, q, qd)
+        np.testing.assert_allclose(ours_b, oracle_b, rtol=3e-3, atol=3e-4)
+        ours_m = np.asarray(rb.mass_matrix(model, qj))
+        oracle_m = cpp_oracle.chain_mass_matrix(model, q)
+        np.testing.assert_allclose(ours_m, oracle_m, rtol=3e-4, atol=2e-6)
+
+
+def test_chain_step_trajectory_vs_oracle_free_body(rng):
+    """Multi-step trajectories of a tumbling free body under gravity
+    match the serial f64 integrator (quaternion retraction included)."""
+    bodies = [dict(pos=(0, 0, 0), type="free", damping=0.01, armature=0.0,
+                   gear=1.0, geoms=[rb.box_geom((0.03, 0.06, 0.09))])]
+    model = rb.build_chain(bodies, dt=1e-3, site_body=0,
+                           site_pos=(0, 0, 0), gravity=(0, 0, -9.81))
+    q = np.asarray(model.neutral_qpos(), np.float64)
+    qd = np.concatenate([rng.uniform(-0.5, 0.5, 3),
+                         rng.uniform(-4, 4, 3)])
+    ctrl = np.zeros(6)
+    qj = jnp.asarray(q, jnp.float32)
+    qdj = jnp.asarray(qd, jnp.float32)
+    step = jax.jit(lambda q, qd: rb.step(model, q, qd,
+                                         jnp.asarray(ctrl, jnp.float32)))
+    qo, qdo = q.copy(), qd.copy()
+    for _ in range(50):
+        qj, qdj = step(qj, qdj)
+        qo, qdo = cpp_oracle.chain_step(model, qo, qdo, ctrl)
+    np.testing.assert_allclose(np.asarray(qj), qo, rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(qdj), qdo, rtol=5e-3, atol=3e-3)

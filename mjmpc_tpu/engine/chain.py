@@ -517,9 +517,13 @@ def points_frame(model: ChainModel, q: jax.Array, qd: jax.Array,
         return poss[idx] + jnp.einsum("kij,kj->ki", rots[idx], points_local)
 
     zero = jnp.zeros((model.nv,), q.dtype)
-    pos, vel = jax.jvp(world, (zero,), (qd,))
-    _, vjp = jax.vjp(world, zero)
-    return pos, vel, lambda forces: vjp(forces)[0]
+    # linearize once: the primal FK, the jvp (point velocities), and the
+    # transposed linear map (force scatter) all come from ONE trace of
+    # `world` instead of separate jvp + vjp retraces.
+    pos, lin = jax.linearize(world, zero)
+    vel = lin(qd)
+    scatter = jax.linear_transpose(lin, zero)
+    return pos, vel, lambda forces: scatter(forces)[0]
 
 
 def integrate_qpos(model: ChainModel, q: jax.Array, qd: jax.Array,

@@ -46,6 +46,13 @@ N_DIGITS = 4
 DOF_PER_DIGIT = 3
 N_HAND_DOF = N_DIGITS * DOF_PER_DIGIT   # 12
 
+# Shared arm-mounted hand config (relocate/hammer/door): digit cage sized
+# for palm-sized objects, palm pad on the z-slide body.
+GRIP_BASES = [(sx * 0.045, s * 0.045, 0.065, s)
+              for s in (1.0, -1.0) for sx in (1.0, -1.0)]
+PALM_LOCAL = (0.0, 0.0, 0.075)
+PALM_R = 0.015
+
 
 def digit_bases() -> List[Tuple[float, float, float, float]]:
     """(x, y, z, side) for the four knuckles; side = sign(y)."""
@@ -105,6 +112,7 @@ def arm_hand_bodies(bases=None, arm_gear: float = 8.0,
     All values are numpy/python — no jax arrays, so importing an env
     module never touches the backend; `engine.chain.build_chain` runs
     lazily at make() time."""
+    bases = GRIP_BASES if bases is None else bases
     slide_axes = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
     bodies = [dict(pos=(0, 0, 0), axis=ax, type="slide",
                    range=(-0.6, 0.6) if i < 2 else (-0.05, 0.5),

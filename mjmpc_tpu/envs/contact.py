@@ -23,27 +23,28 @@ def closest_on_segment(p: jax.Array, a: jax.Array, b: jax.Array):
     return a + t * d, t
 
 
-def penalty_force(sep: jax.Array, rel_vel: jax.Array, overlap: jax.Array,
-                  kp, kd, mu, v_slip: float = 0.02) -> jax.Array:
-    """Force on body A.
-
-    sep: vector from the closest point on B to A's point (defines the
-    contact normal); rel_vel: v_A - v_B at the contact; overlap: combined
-    radius minus distance (> 0 means penetrating).
-
-    Normal: spring-damper, clamped non-negative (no sticking);
-    tangential: Coulomb friction with a smooth slip regularization
+def force_along(n: jax.Array, overlap: jax.Array, rel_vel: jax.Array,
+                kp, kd, mu, v_slip: float = 0.02) -> jax.Array:
+    """The one friction law every contact shape shares: spring-damper
+    normal force along unit normal `n` (clamped non-negative, gated on
+    overlap > 0) + Coulomb friction with smooth slip regularization
     (|f_t| <= mu f_n, direction -v_t) — the MuJoCo pyramidal cone's
-    smooth stand-in (docs/PARITY.md: penalty contact, no LCP).
-    """
-    dist = jnp.linalg.norm(sep) + 1e-9
-    n = sep / dist
+    smooth stand-in (docs/PARITY.md: penalty contact, no LCP)."""
     vn = rel_vel @ n
     fn = jnp.where(overlap > 0.0, jnp.maximum(kp * overlap - kd * vn, 0.0),
                    0.0)
     vt = rel_vel - vn * n
     ft = -mu * fn * vt / (jnp.linalg.norm(vt) + v_slip)
     return fn * n + ft
+
+
+def penalty_force(sep: jax.Array, rel_vel: jax.Array, overlap: jax.Array,
+                  kp, kd, mu, v_slip: float = 0.02) -> jax.Array:
+    """Force on body A. sep: vector from the closest point on B to A's
+    point (defines the contact normal); rel_vel: v_A - v_B; overlap:
+    combined radius minus distance (> 0 means penetrating)."""
+    n = sep / (jnp.linalg.norm(sep) + 1e-9)
+    return force_along(n, overlap, rel_vel, kp, kd, mu, v_slip)
 
 
 def sphere_segment_force(p: jax.Array, v: jax.Array, r_sphere,
@@ -72,11 +73,8 @@ def sphere_plane_force(p: jax.Array, v: jax.Array, r_sphere, kp, kd, mu,
     direction, which would flip sign once the center passes below the
     plane and turn the restoring force into a runaway expulsion."""
     overlap = r_sphere - (p[2] - z_plane)
-    fn = jnp.where(overlap > 0.0,
-                   jnp.maximum(kp * overlap - kd * v[2], 0.0), 0.0)
-    vt = v.at[2].set(0.0)
-    ft = -mu * fn * vt / (jnp.linalg.norm(vt) + v_slip)
-    return jnp.array([0.0, 0.0, 1.0], p.dtype) * fn + ft
+    return force_along(jnp.array([0.0, 0.0, 1.0], p.dtype), overlap, v,
+                       kp, kd, mu, v_slip)
 
 
 def segment_segment_closest(a0: jax.Array, a1: jax.Array,

@@ -43,16 +43,14 @@ _HANDLE_R = 0.011
 _HANDLE_HL = 0.06
 _HEAD_R = 0.02
 _HEAD_LOCAL = np.array([0.075, 0.0, 0.0], np.float32)
-_PALM_LOCAL = np.array([0.0, 0.0, 0.075], np.float32)
-_PALM_R = 0.015
+_PALM_LOCAL = np.asarray(adroit.PALM_LOCAL, np.float32)
+_PALM_R = adroit.PALM_R
 
 _NAIL_POS = np.array([0.22, 0.0, 0.09], np.float32)   # head at start
 _NAIL_TRAVEL = 0.05
 _NAIL_R = 0.015
 _NAIL_RESIST = 10.0     # dry-friction resistance [N]
 
-_BASES = [(sx * 0.045, s * 0.045, 0.065, s)
-          for s in (1.0, -1.0) for sx in (1.0, -1.0)]
 
 
 class HammerParams(NamedTuple):
@@ -69,7 +67,7 @@ class HammerState(NamedTuple):
 
 
 # numpy-only body specs — build_chain runs lazily in make().
-_BODIES_SPEC, _DIGITS = adroit.arm_hand_bodies(bases=_BASES)
+_BODIES_SPEC, _DIGITS = adroit.arm_hand_bodies()
 _BODIES_SPEC.append(dict(   # the hammer: light handle, heavy head
     pos=(0.0, 0.0, 0.0), type="free", parent=-1,
     damping=0.01, armature=0.0, gear=0.0,

@@ -53,16 +53,14 @@ _PANEL = (-0.30, -0.04, 0.0)          # latch pivot offset from the hinge
 _HANDLE_A = np.array([-0.01, 0.0, 0.0], np.float32)   # handle ends in the
 _HANDLE_B = np.array([-0.12, 0.0, 0.0], np.float32)   # latch body frame
 _HANDLE_R = 0.014
-_PALM_LOCAL = np.array([0.0, 0.0, 0.075], np.float32)
-_PALM_R = 0.015
+_PALM_LOCAL = np.asarray(adroit.PALM_LOCAL, np.float32)
+_PALM_R = adroit.PALM_R
 
 _LATCH_THRESH = 0.55      # rad the latch must turn before the door frees
 _LATCH_SPRING = 0.3       # handle return spring
 _DOOR_SPRING = 0.25       # door-closed spring
 _BLOCK_K = 4.0            # strike-plate torque cap [N*m]
 
-_BASES = [(sx * 0.045, s * 0.045, 0.065, s)
-          for s in (1.0, -1.0) for sx in (1.0, -1.0)]
 
 
 class DoorParams(NamedTuple):
@@ -79,7 +77,7 @@ class DoorState(NamedTuple):
 
 
 # numpy-only body specs — build_chain runs lazily in make().
-_BODIES_SPEC, _DIGITS = adroit.arm_hand_bodies(bases=_BASES)
+_BODIES_SPEC, _DIGITS = adroit.arm_hand_bodies()
 _BODIES_SPEC.append(dict(   # door panel on a vertical hinge
     pos=_DOOR_HINGE_POS, axis=(0, 0, 1), range=(0.0, 1.8),
     parent=-1, damping=1.2, armature=0.05, gear=0.0,

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import Env
+from ..engine.chain import _JOINT_NV
 
 # MuJoCo-style field -> ChainModel attribute. geom_friction maps onto the
 # viscous joint damping of the named contact DOF — the engine's friction
@@ -106,7 +107,6 @@ def _resolve(env: Env, field: str, name: str) -> Tuple[str, Optional[int]]:
             # spans a slice of velocity DOFs, not a single entry
             model = getattr(env.params, "model", None)
             if model is not None and hasattr(model, "v_offsets"):
-                from ..engine.chain import _JOINT_NV
                 voff = model.v_offsets
                 width = _JOINT_NV[model.joint_types[row]]
                 if width > 1 or voff[row] != row:

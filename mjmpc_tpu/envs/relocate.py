@@ -36,14 +36,12 @@ _N_ARM = 3
 _BALL_BODY = _N_ARM + adroit.N_DIGITS * 3      # body index 15
 _BALL_Q = _N_ARM + adroit.N_HAND_DOF           # q/v offset 15
 _N_ACT = _N_ARM + adroit.N_HAND_DOF            # 15
-_PALM_LOCAL = np.array([0.0, 0.0, 0.075], np.float32)  # on the z-slide body
-_PALM_R = 0.015   # small enough that tips reach the ball equator before
-                  # the palm pad caps the descent
+_PALM_LOCAL = np.asarray(adroit.PALM_LOCAL, np.float32)
+_PALM_R = adroit.PALM_R   # small enough that the tips reach the ball
+                          # equator before the pad caps the descent
 
 # Digit cage sized for the ball: tips close onto a 0.044-radius sphere
 # (ball + tip radius) from a 0.050-radius neutral ring below the equator.
-_BASES = [(sx * 0.045, s * 0.045, 0.065, s)
-          for s in (1.0, -1.0) for sx in (1.0, -1.0)]
 
 
 class RelocateParams(NamedTuple):
@@ -62,7 +60,7 @@ class RelocateState(NamedTuple):
 
 # numpy-only body specs — the backend is only touched when make() builds
 # the ChainModel (lazy, cached).
-_BODIES_SPEC, _DIGITS = adroit.arm_hand_bodies(bases=_BASES)
+_BODIES_SPEC, _DIGITS = adroit.arm_hand_bodies()
 _BODIES_SPEC.append(dict(
     pos=(0.0, 0.0, 0.0), type="free", parent=-1,
     damping=0.01, armature=0.0, gear=0.0,

@@ -217,7 +217,9 @@ def bench_roofline(env_name: str = "reacher_7dof-v0", horizon: int = 32,
         flops_per_solve=flops, bytes_per_solve=nbytes,
         mfu_pct_bf16=round(100.0 * achieved / peak_flops, 3),
         ai_flops_per_byte=round(flops / nbytes, 3) if nbytes else None,
-        hbm_gb_per_s=round(nbytes / dt / 1e9, 2))
+        # XLA's analytical bytes-accessed counts fused intermediates, so
+        # this is NOT physical HBM bandwidth (it can exceed it by 100x)
+        analytic_bytes_gb_per_s=round(nbytes / dt / 1e9, 2))
 
 
 def bench_weak_scaling(horizon: int = 32, particles_per_device: int = 512,

@@ -114,6 +114,9 @@ DEFAULT_SUITE = [
     ("SimplePendulum-v0", "cem", 32, 4096),
     ("reacher_7dof-v0", "cem", 16, 4096),
     ("SimplePendulum-v0", "pfmpc", 32, 4096),
+    # contact-rich hand suite: free quaternion object + 14 contact pairs
+    # per substep through the batched points_frame path
+    ("pen-v0", "mppi", 32, 1024),
 ]
 
 

@@ -507,9 +507,11 @@ def points_frame(model: ChainModel, q: jax.Array, qd: jax.Array,
 
     For K body-local points (static `bodies` tuple, `points_local` [K,3])
     returns (pos [K,3], vel [K,3], apply) where apply(forces [K,3]) ->
-    generalized force [nv] = Σ_k J_kᵀ f_k. One tangent-space jvp gives
-    every point velocity and one vjp scatters every contact force — the
-    whole contact pass costs three FK traces regardless of K."""
+    generalized force [nv] = Σ_k J_kᵀ f_k. One jax.linearize of the
+    batched point kinematics provides the primal positions, every point
+    velocity (the linear map applied to q̇), and — via linear_transpose —
+    the force scatter, so the whole contact pass costs ONE trace of the
+    kinematics regardless of K."""
     idx = np.asarray(bodies)
 
     def world(delta):

@@ -46,8 +46,10 @@ N_DIGITS = 4
 DOF_PER_DIGIT = 3
 N_HAND_DOF = N_DIGITS * DOF_PER_DIGIT   # 12
 
-# Shared arm-mounted hand config (relocate/hammer/door): digit cage sized
-# for palm-sized objects, palm pad on the z-slide body.
+# Shared arm-mounted hand config (relocate/hammer/door): the digit cage
+# closes onto a ~0.044-radius sphere (ball + tip radius) from a
+# 0.050-radius neutral ring below the equator — sized for palm-scale
+# objects; palm pad on the z-slide body.
 GRIP_BASES = [(sx * 0.045, s * 0.045, 0.065, s)
               for s in (1.0, -1.0) for sx in (1.0, -1.0)]
 PALM_LOCAL = (0.0, 0.0, 0.075)

@@ -8,7 +8,8 @@ lockstep under vmap/scan and the whole solve stays one XLA program.
 
 Geometry helpers return force ON body A given the separation vector and
 relative surface velocity; the caller applies ±f through
-`engine.chain.points_frame` (one vjp for all contact points).
+`engine.chain.points_frame` (one linearized-kinematics pass covers every
+contact point's position, velocity, and force scatter).
 """
 from __future__ import annotations
 

@@ -14,8 +14,8 @@ joints exclusively.
 One kinematic forest, one jitted program: 12 hinge DOF (hand) + 1 free
 joint (pen) => nq = 19, nv = 18; contact is 8 finger spheres vs the pen
 capsule, the palm plane, and a static cradle ridge the pen see-saws on
-(pitch authority), all through one batched `points_frame` jvp/vjp pass
-per substep.
+(pitch authority), all through one batched `points_frame` pass per
+substep.
 """
 from __future__ import annotations
 

@@ -40,10 +40,6 @@ _PALM_LOCAL = np.asarray(adroit.PALM_LOCAL, np.float32)
 _PALM_R = adroit.PALM_R   # small enough that the tips reach the ball
                           # equator before the pad caps the descent
 
-# Digit cage sized for the ball: tips close onto a 0.044-radius sphere
-# (ball + tip radius) from a 0.050-radius neutral ring below the equator.
-
-
 class RelocateParams(NamedTuple):
     model: rb.ChainModel
     kp: jax.Array

@@ -127,8 +127,9 @@ def mppi_update(mean, actions, costs, gamma: float, lam: float,
 
 
 # ---------------------------------------------------------------------------
-# Chain-engine oracle (scalar hinge/slide joints) — serial f64 RNEA +
-# Jacobian-composition cross-check for engine/chain.py.
+# Chain-engine oracle (all four joint types incl. quaternion ball/free)
+# — serial f64 RNEA + Jacobian-composition cross-check for
+# engine/chain.py.
 # ---------------------------------------------------------------------------
 
 _I64P = ctypes.POINTER(ctypes.c_int64)
@@ -150,7 +151,7 @@ def _chain_arrays(model):
     per-DOF arrays use the engine's [nv]/[nq] layouts)."""
     types = model.joint_types
     jtype = _i64([_JTYPE_CODE[t] for t in types])
-    nv = sum({0: 1, 1: 1, 2: 3, 3: 6}[c] for c in jtype)
+    nv = int(model.nv)
     parent = _i64(model.parent)
     return dict(
         n=len(types), nv=int(nv), parent=parent, jtype=jtype,

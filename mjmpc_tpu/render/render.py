@@ -95,6 +95,107 @@ def _render_planar(env, state_t, ax, plane=(0, 2), span=1.5):
     ax.axhline(0.0, color="k", linewidth=0.5)
 
 
+def _fk(model, qpos):
+    import jax
+    rots, poss = jax.jit(rb.forward_kinematics)(
+        model, np.asarray(qpos, np.float32))
+    return np.asarray(rots), np.asarray(poss)
+
+
+def _draw_digits(model, rots, poss, ax, plane, n_skip=0):
+    """Digit chains as parent->child segments; skips `n_skip` leading arm
+    bodies (drawn separately) and stops before the object bodies."""
+    a, b = plane
+    for i in range(n_skip, model.n_joints):
+        if model.joint_types[i] != "hinge":
+            continue
+        pi = model.parent[i]
+        p0 = np.zeros(3) if pi < 0 else poss[pi]
+        ax.plot([p0[a], poss[i][a]], [p0[b], poss[i][b]], "-o",
+                color="tab:blue", markersize=3, linewidth=2)
+
+
+def _render_pen(env, state_t, ax):
+    """Hand + free pen, x-z side view: digits, cradle ridge, pen capsule,
+    desired axis ray."""
+    from ..envs import pen as penmod
+    model = env.params.model
+    rots, poss = _fk(model, state_t.qpos)
+    _draw_digits(model, rots, poss, ax, (0, 2))
+    body = penmod._PEN_BODY
+    hl = penmod._PEN_HL
+    e0 = poss[body] + rots[body] @ np.array([-hl, 0, 0])
+    e1 = poss[body] + rots[body] @ np.array([hl, 0, 0])
+    ax.plot([e0[0], e1[0]], [e0[2], e1[2]], "-", color="tab:red",
+            linewidth=5, solid_capstyle="round")
+    d = np.asarray(state_t.desired)
+    c = np.asarray(penmod._DESIRED_POS)
+    ax.plot([c[0], c[0] + 0.08 * d[0]], [c[2], c[2] + 0.08 * d[2]], "--",
+            color="green", linewidth=2)
+    ax.add_patch(plt.Circle((0.0, 0.008), penmod._RIDGE_R, color="gray",
+                            alpha=0.5))
+    ax.axhline(0.0, color="k", linewidth=0.5)
+    ax.set_xlim(-0.15, 0.15)
+    ax.set_ylim(-0.02, 0.18)
+
+
+def _render_relocate(env, state_t, ax):
+    """Arm+hand + free ball, x-z side view, with the aerial target."""
+    from ..envs import relocate as rl
+    model = env.params.model
+    rots, poss = _fk(model, state_t.qpos)
+    _draw_digits(model, rots, poss, ax, (0, 2), n_skip=3)
+    ax.add_patch(plt.Circle((poss[rl._BALL_BODY][0], poss[rl._BALL_BODY][2]),
+                            rl._BALL_R, color="tab:red", alpha=0.8))
+    t = np.asarray(state_t.target)
+    ax.plot([t[0]], [t[2]], "g*", markersize=14)
+    ax.axhline(0.0, color="k", linewidth=0.5)
+    ax.set_xlim(-0.45, 0.45)
+    ax.set_ylim(-0.05, 0.5)
+
+
+def _render_hammer(env, state_t, ax):
+    from ..envs import hammer as hm
+    model = env.params.model
+    rots, poss = _fk(model, state_t.qpos)
+    _draw_digits(model, rots, poss, ax, (0, 2), n_skip=3)
+    body = hm._HAMMER_BODY
+    e0 = poss[body] + rots[body] @ np.array([-hm._HANDLE_HL, 0, 0])
+    e1 = poss[body] + rots[body] @ np.array([hm._HANDLE_HL, 0, 0])
+    head = poss[body] + rots[body] @ np.asarray(hm._HEAD_LOCAL)
+    ax.plot([e0[0], e1[0]], [e0[2], e1[2]], "-", color="saddlebrown",
+            linewidth=4, solid_capstyle="round")
+    ax.add_patch(plt.Circle((head[0], head[2]), hm._HEAD_R,
+                            color="dimgray"))
+    nail = poss[hm._NAIL_BODY]
+    ax.plot([nail[0], nail[0]], [0.05, nail[2]], "-", color="black",
+            linewidth=2)
+    ax.add_patch(plt.Circle((nail[0], nail[2]), hm._NAIL_R, color="black"))
+    ax.axhline(0.0, color="k", linewidth=0.5)
+    ax.set_xlim(-0.25, 0.4)
+    ax.set_ylim(-0.05, 0.45)
+
+
+def _render_door(env, state_t, ax):
+    """Top-down (x-y) view: arm+hand, door panel swinging about its
+    hinge, handle bar on the latch."""
+    from ..envs import hand_door as hd
+    model = env.params.model
+    rots, poss = _fk(model, state_t.qpos)
+    _draw_digits(model, rots, poss, ax, (0, 1), n_skip=3)
+    door_b, latch_b = hd._DOOR_BODY, hd._LATCH_BODY
+    hinge = poss[door_b]
+    edge = poss[door_b] + rots[door_b] @ np.array([-0.30, 0, 0])
+    ax.plot([hinge[0], edge[0]], [hinge[1], edge[1]], "-",
+            color="saddlebrown", linewidth=5)
+    ha = poss[latch_b] + rots[latch_b] @ np.asarray(hd._HANDLE_A)
+    hb = poss[latch_b] + rots[latch_b] @ np.asarray(hd._HANDLE_B)
+    ax.plot([ha[0], hb[0]], [ha[1], hb[1]], "-", color="dimgray",
+            linewidth=4, solid_capstyle="round")
+    ax.set_xlim(-0.35, 0.5)
+    ax.set_ylim(-0.3, 0.45)
+
+
 _RENDERERS: Dict[str, Callable] = {
     "SimplePendulum-v0": _render_pendulum,
     "cartpole-v0": _render_cartpole,
@@ -117,6 +218,10 @@ _RENDERERS: Dict[str, Callable] = {
     "panda_tray_glass-v0": _render_reacher,
     "trajopt_reacher-v0": lambda e, s, ax: _render_planar(
         e, s, ax, plane=(0, 1), span=0.3),
+    "pen-v0": _render_pen,
+    "relocate-v0": _render_relocate,
+    "hammer-v0": _render_hammer,
+    "door-v0": _render_door,
 }
 
 SUPPORTED = sorted(_RENDERERS)

@@ -46,3 +46,17 @@ def test_unsupported_env_raises():
     bad = dataclasses.replace(env, name="nope-v0")
     with pytest.raises(ValueError):
         render.render_trajectory(bad, out["states"])
+
+
+def test_hand_env_renderers():
+    """The round-2 hand envs (quaternion objects) render: pen capsule,
+    relocate ball+target, hammer+nail, door panel+handle."""
+    import jax.numpy as jnp
+    for name in ("pen-v0", "relocate-v0", "hammer-v0", "door-v0"):
+        env = envs.make(name)
+        s = env.init(env.params, jax.random.PRNGKey(0))
+        states = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (1, 2) + x.shape), s)
+        frames = render.render_trajectory(env, states)
+        assert len(frames) == 2
+        assert frames[0].ndim == 3 and frames[0].shape[2] == 3

@@ -559,4 +559,47 @@ void chain_step(int64_t n, const int64_t* parent, const int64_t* jtype,
     }
 }
 
+// Serial f64 open-loop rollout of a chain task: per particle, from
+// (q0,qd0), H steps of u[t] = clip(mean[t] + noise[b,t], ulow, uhigh)
+// with n_substeps engine substeps each, recording the site world
+// position after every step into sites_out [N,H,3]. Task costs
+// (reacher -l1-5l2 of reacher_env.py:29-39, peg depth shaping) are
+// computed host-side from the sites, keeping this entry task-agnostic.
+// Mirrors the reference's serial per-particle hot loop
+// (gym_env_wrapper.py:123-153). Control dim == nv (scalar-joint arms).
+void chain_site_rollout(int64_t n, const int64_t* parent,
+                        const int64_t* jtype, const double* axis,
+                        const double* body_pos, const double* mass,
+                        const double* com, const double* inertia,
+                        const double* armature, const double* damping,
+                        const double* stiffness, const double* gear,
+                        const double* qlow, const double* qhigh,
+                        const double* gravity, double dt,
+                        int64_t n_substeps, const double* q0,
+                        const double* qd0, const double* mean,
+                        const double* noise, int64_t N, int64_t H,
+                        double ulow, double uhigh, int64_t site_body,
+                        const double* site_pos, double* sites_out) {
+    ChainModel mm{n, parent, jtype, axis, body_pos, mass, com, inertia};
+    mm.offsets();
+    int64_t nv = mm.nv, nq = mm.nq;
+    std::vector<double> q(nq), qd(nv), u(nv);
+    for (int64_t b = 0; b < N; ++b) {
+        std::copy(q0, q0 + nq, q.begin());
+        std::copy(qd0, qd0 + nv, qd.begin());
+        for (int64_t t = 0; t < H; ++t) {
+            for (int64_t k = 0; k < nv; ++k) {
+                double v = mean[t * nv + k] + noise[(b * H + t) * nv + k];
+                u[k] = std::min(std::max(v, ulow), uhigh);
+            }
+            chain_step(n, parent, jtype, axis, body_pos, mass, com,
+                       inertia, armature, damping, stiffness, gear,
+                       qlow, qhigh, gravity, dt, n_substeps, u.data(),
+                       q.data(), qd.data());
+            chain_site(n, parent, jtype, axis, body_pos, q.data(),
+                       site_body, site_pos, sites_out + (b * H + t) * 3);
+        }
+    }
+}
+
 }  // extern "C"

@@ -54,6 +54,9 @@ def _load() -> ctypes.CDLL:
                                _D, _D]
     lib.chain_step.argtypes = ([_I64, _I64P, _I64P] + [_D] * 12
                                + [_F64, _I64] + [_D] * 3)
+    lib.chain_site_rollout.argtypes = (
+        [_I64, _I64P, _I64P] + [_D] * 12 + [_F64, _I64] + [_D] * 4
+        + [_I64, _I64, _F64, _F64, _I64] + [_D] * 2)
     _lib = lib
     return lib
 
@@ -210,3 +213,29 @@ def chain_step(model, q, qd, ctrl, n_substeps: int = 1):
                    _ptr(a["gravity"]), float(model.dt), int(n_substeps),
                    _ptr(_c64(ctrl)), _ptr(qo), _ptr(qdo))
     return qo, qdo
+
+
+def chain_site_rollout(model, q0, qd0, mean, noise, n_substeps: int = 1,
+                       ulow: float = -1.0, uhigh: float = 1.0,
+                       site_body=None, site_pos=None) -> np.ndarray:
+    """Site world positions [N, H, 3] along serial f64 open-loop rollouts
+    with u[b,t] = clip(mean[t] + noise[b,t]) — the reference's serial
+    per-particle hot loop (gym_env_wrapper.py:123-153) on the chain
+    engine. Task costs are computed by the caller from the sites."""
+    lib = _load()
+    a = _chain_arrays(model)
+    q0, qd0 = _c64(q0), _c64(qd0)
+    mean, noise = _c64(mean), _c64(noise)
+    n_p, h, _ = noise.shape
+    sb = int(model.site_body if site_body is None else site_body)
+    sp = _c64(model.site_pos if site_pos is None else site_pos)
+    out = np.empty((n_p, h, 3), np.float64)
+    lib.chain_site_rollout(
+        a["n"], _iptr(a["parent"]), _iptr(a["jtype"]), _ptr(a["axis"]),
+        _ptr(a["body_pos"]), _ptr(a["mass"]), _ptr(a["com"]),
+        _ptr(a["inertia"]), _ptr(a["armature"]), _ptr(a["damping"]),
+        _ptr(a["stiffness"]), _ptr(a["gear"]), _ptr(a["qlow"]),
+        _ptr(a["qhigh"]), _ptr(a["gravity"]), float(model.dt),
+        int(n_substeps), _ptr(q0), _ptr(qd0), _ptr(mean), _ptr(noise),
+        n_p, h, float(ulow), float(uhigh), sb, _ptr(sp), _ptr(out))
+    return out

@@ -83,13 +83,11 @@ def _register_deferred():
         from . import hand_door
         _REGISTRY.setdefault("door-v0", hand_door.make)
     except ImportError:
-        # stopgap until the hand-actuated door lands: the reference's
-        # hand/door-v0.yml resolves to the arm-door task
-        import dataclasses as _dc
-        from . import sawyer_tasks as _st
-        _REGISTRY.setdefault(
-            "door-v0",
-            lambda: _dc.replace(_st.make_door(), name="door-v0"))
+        # No fallback: hand_door exists, so an ImportError here is a
+        # real bug (e.g. a broken transitive import in adroit/contact) —
+        # silently serving the arm-door env with different d_obs/d_action
+        # would turn it into confusing downstream shape errors.
+        pass
     try:
         from . import relocate
         _REGISTRY.setdefault("relocate-v0", relocate.make)

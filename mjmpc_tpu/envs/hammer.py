@@ -32,12 +32,13 @@ from .base import Env
 _DT = 0.002
 _FRAME_SKIP = 5
 _N_ARM = 3
-_HAMMER_BODY = _N_ARM + adroit.N_DIGITS * 3    # 15
-_NAIL_BODY = _HAMMER_BODY + 1                  # 16
-_HAMMER_Q = _N_ARM + adroit.N_HAND_DOF         # qpos 15..22, qvel 15..21
-_NAIL_Q = _HAMMER_Q + 7                        # qpos 22
-_NAIL_V = _HAMMER_Q + 6                        # qvel 21
-_N_ACT = 15
+_HAMMER_BODY = _N_ARM + adroit.N_DIGITS * adroit.BODIES_PER_DIGIT   # 23
+_NAIL_BODY = _HAMMER_BODY + 1                  # 24
+_HAMMER_Q = _N_ARM + adroit.N_HAND_DOF         # qpos 23..30, qvel 23..29
+_NAIL_Q = _HAMMER_Q + 7                        # qpos 30
+_NAIL_V = _HAMMER_Q + 6                        # qvel 29
+_N_ACT = _N_ARM + adroit.N_HAND_DOF            # 23
+_N_TIPS = 2 * adroit.N_DIGITS
 
 _HANDLE_R = 0.011
 _HANDLE_HL = 0.06
@@ -105,10 +106,12 @@ def _ext_forces(params: HammerParams):
     def fn(_, q, qd):
         pos, vel, apply = rb.points_frame(model, q, qd, _C_BODIES,
                                           jnp.asarray(_C_POINTS))
-        cap_a, cap_b, head, nail, palm = (pos[8], pos[9], pos[10],
-                                          pos[11], pos[12])
-        vcap_a, vcap_b, vhead, vnail, vpalm = (vel[8], vel[9], vel[10],
-                                               vel[11], vel[12])
+        cap_a, cap_b, head, nail, palm = (
+            pos[_N_TIPS], pos[_N_TIPS + 1], pos[_N_TIPS + 2],
+            pos[_N_TIPS + 3], pos[_N_TIPS + 4])
+        vcap_a, vcap_b, vhead, vnail, vpalm = (
+            vel[_N_TIPS], vel[_N_TIPS + 1], vel[_N_TIPS + 2],
+            vel[_N_TIPS + 3], vel[_N_TIPS + 4])
         forces = []
         f_cap_a = contact.sphere_plane_force(cap_a, vcap_a, _HANDLE_R,
                                              params.kp, params.kd,
@@ -116,7 +119,7 @@ def _ext_forces(params: HammerParams):
         f_cap_b = contact.sphere_plane_force(cap_b, vcap_b, _HANDLE_R,
                                              params.kp, params.kd,
                                              params.mu)
-        for k in range(8):
+        for k in range(_N_TIPS):
             f_fh, t = contact.sphere_segment_force(
                 pos[k], vel[k], _C_RADII[k], cap_a, cap_b, vcap_a,
                 vcap_b, _HANDLE_R, params.kp, params.kd, params.mu)
@@ -210,7 +213,7 @@ def _success(params: HammerParams, state: HammerState) -> jax.Array:
 def make() -> Env:
     params = HammerParams(model=build_model(), kp=jnp.float32(800.0),
                           kd=jnp.float32(2.0), mu=jnp.float32(1.2))
-    return Env(name="hammer-v0", d_obs=49, d_action=_N_ACT,
+    return Env(name="hammer-v0", d_obs=65, d_action=_N_ACT,
                action_lows=np.full(_N_ACT, -1.0, np.float32),
                action_highs=np.full(_N_ACT, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,

@@ -36,11 +36,12 @@ from .base import Env
 _DT = 0.002
 _FRAME_SKIP = 5
 _N_ARM = 3
-_DOOR_BODY = _N_ARM + adroit.N_DIGITS * 3      # 15
+_DOOR_BODY = _N_ARM + adroit.N_DIGITS * adroit.BODIES_PER_DIGIT   # 23
 _LATCH_BODY = _DOOR_BODY + 1                   # 16
-_DOOR_Q = _N_ARM + adroit.N_HAND_DOF           # 15
+_DOOR_Q = _N_ARM + adroit.N_HAND_DOF           # 23
 _LATCH_Q = _DOOR_Q + 1                         # 16
-_N_ACT = 15
+_N_ACT = _N_ARM + adroit.N_HAND_DOF            # 23
+_N_TIPS = 2 * adroit.N_DIGITS
 
 # Door frame: hinge at x = 0.35, door panel extends toward -x; the
 # handle bar sits on the latch at the panel's free edge, pointing -y so
@@ -110,12 +111,12 @@ def _ext_forces(params: DoorParams):
     def fn(_, q, qd):
         pos, vel, apply = rb.points_frame(model, q, qd, _C_BODIES,
                                           jnp.asarray(_C_POINTS))
-        ha, hb, palm = pos[8], pos[9], pos[10]
-        vha, vhb, vpalm = vel[8], vel[9], vel[10]
+        ha, hb, palm = pos[_N_TIPS], pos[_N_TIPS + 1], pos[_N_TIPS + 2]
+        vha, vhb, vpalm = vel[_N_TIPS], vel[_N_TIPS + 1], vel[_N_TIPS + 2]
         forces = []
         f_ha = jnp.zeros(3, q.dtype)
         f_hb = jnp.zeros(3, q.dtype)
-        for k in range(8):
+        for k in range(_N_TIPS):
             f, t = contact.sphere_segment_force(
                 pos[k], vel[k], _C_RADII[k], ha, hb, vha, vhb,
                 _HANDLE_R, params.kp, params.kd, params.mu)
@@ -207,7 +208,7 @@ def _success(params: DoorParams, state: DoorState) -> jax.Array:
 def make() -> Env:
     params = DoorParams(model=build_model(), kp=jnp.float32(800.0),
                         kd=jnp.float32(2.0), mu=jnp.float32(1.2))
-    return Env(name="door-v0", d_obs=40, d_action=_N_ACT,
+    return Env(name="door-v0", d_obs=56, d_action=_N_ACT,
                action_lows=np.full(_N_ACT, -1.0, np.float32),
                action_highs=np.full(_N_ACT, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,

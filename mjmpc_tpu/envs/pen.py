@@ -5,17 +5,21 @@ by a multi-DOF hand, reward = orientation similarity between the pen's
 long axis and a sampled target axis plus a position term, success when
 the similarity exceeds 0.90 (README.md:33-35,
 examples/configs/hand/pen-v0.yml "In-hand manipulation of a 6-DOF pen
-with a 24-DOF Shadow Hand"). Here the hand is the simplified 12-DOF
-four-digit Adroit stand-in (`envs/adroit.py`) and the pen is a genuine
-FREE body — 7 qpos (position + unit quaternion), 6 qvel — manipulated
-only through frictional fingertip/palm contact: actions actuate hand
-joints exclusively.
+with a 24-DOF Shadow Hand"). Here the hand is the 20-DOF five-digit
+Adroit counterpart (`envs/adroit.py`: four fingers + opposing thumb,
+4 hinge DOF each) and the pen is a genuine FREE body — 7 qpos (position
++ unit quaternion), 6 qvel — manipulated only through frictional
+fingertip/palm contact: actions actuate hand joints exclusively. The
+desired-orientation envelope is the FULL mj_envs range, ±1 rad on both
+yaw and pitch: the pen rests on a raised cradle ridge (center z =
+0.072) high enough that a ±1 rad pitch keeps both ends above the palm
+plane, and the deeper 3-phalanx digits reach the steeply-pitched ends.
 
-One kinematic forest, one jitted program: 12 hinge DOF (hand) + 1 free
-joint (pen) => nq = 19, nv = 18; contact is 8 finger spheres vs the pen
-capsule, the palm plane, and a static cradle ridge the pen see-saws on
-(pitch authority), all through one batched `points_frame` pass per
-substep.
+One kinematic forest, one jitted program: 20 hinge DOF (hand) + 1 free
+joint (pen) => nq = 27, nv = 26; contact is 10 finger spheres vs the
+pen capsule, the palm plane, and the static cradle ridge the pen
+see-saws on (pitch authority), all through one batched `points_frame`
+pass per substep.
 """
 from __future__ import annotations
 
@@ -34,17 +38,21 @@ _DT = 0.002
 _FRAME_SKIP = 5          # control dt 10 ms, mj_envs Adroit semantics
 _PEN_R = 0.012
 _PEN_HL = 0.065          # half-length
-_PEN_BODY = adroit.N_DIGITS * 3          # body index 12
-_PEN_Q = adroit.N_HAND_DOF               # qpos offset 12, qvel offset 12
+_PEN_BODY = adroit.N_DIGITS * adroit.BODIES_PER_DIGIT    # body index 20
+_PEN_Q = adroit.N_HAND_DOF               # qpos offset 20, qvel offset 20
 
 # Static palm cradle: a ridge capsule across y at x=0 — the pen see-saws
 # on it, so pressing one end down (the closing-curl direction of the
 # digit tips) pitches the pen, and below-center pinches squeeze-lift it.
 # Without it the pen lies flat on the palm and pitch authority vanishes.
+# The ridge is RAISED (z = 0.048, rest center 0.072) so the full mj_envs
+# ±1 rad pitch envelope is geometrically reachable: at pitch 1 rad the
+# low end sits at z = 0.072 - 0.065*sin(1) = 0.017 > pen radius above
+# nothing — still clear of the palm plane.
 _RIDGE_R = 0.012
-_RIDGE_A = np.array([0.0, -0.12, 0.008], np.float32)
-_RIDGE_B = np.array([0.0, 0.12, 0.008], np.float32)
-_REST_Z = 0.008 + _RIDGE_R + _PEN_R      # pen center at rest: 0.032
+_RIDGE_A = np.array([0.0, -0.12, 0.048], np.float32)
+_RIDGE_B = np.array([0.0, 0.12, 0.048], np.float32)
+_REST_Z = 0.048 + _RIDGE_R + _PEN_R      # pen center at rest: 0.072
 _DESIRED_POS = np.array([0.0, 0.0, _REST_Z], np.float32)
 
 
@@ -95,8 +103,9 @@ def _ext_forces(params: PenParams):
     def fn(_, q, qd):
         pos, vel, apply = rb.points_frame(model, q, qd, _C_BODIES,
                                           jnp.asarray(_C_POINTS))
-        cap_a, cap_b = pos[8], pos[9]
-        vcap_a, vcap_b = vel[8], vel[9]
+        n_tips = 2 * adroit.N_DIGITS
+        cap_a, cap_b = pos[n_tips], pos[n_tips + 1]
+        vcap_a, vcap_b = vel[n_tips], vel[n_tips + 1]
         forces = []
         f_cap_a = contact.sphere_plane_force(cap_a, vcap_a, _PEN_R,
                                              params.kp, params.kd, params.mu)
@@ -109,7 +118,7 @@ def _ext_forces(params: PenParams):
             params.kp, params.kd, params.mu)
         f_cap_a = f_cap_a + (1.0 - sr) * f_ridge
         f_cap_b = f_cap_b + sr * f_ridge
-        for k in range(8):
+        for k in range(2 * adroit.N_DIGITS):
             f_pen, t = contact.sphere_segment_force(
                 pos[k], vel[k], _C_RADII[k], cap_a, cap_b, vcap_a, vcap_b,
                 _PEN_R, params.kp, params.kd, params.mu)
@@ -139,15 +148,13 @@ def _pen_frame(state: PenState):
 
 
 def _sample_desired(key) -> jax.Array:
-    """Target long axis: yaw U(-1, 1) rad, pitch U(-0.45, 0.45) rad tilts
-    of e_x. The mj_envs envelope is ±1 rad on both; the pitch range here
-    is narrowed to the cradle-bound hand's reachable set (the pen rocks
-    on the palm cradle rather than floating in a 24-DOF grip) — the
-    control problem is the same, the geometry envelope is smaller
-    (docs/PARITY.md)."""
+    """Target long axis: yaw U(-1, 1) rad, pitch U(-1, 1) rad tilts of
+    e_x — the FULL mj_envs pen_v0 desired-orientation envelope (the
+    round-2 ±0.45 pitch narrowing is gone: the raised cradle plus the
+    deeper five-digit hand reach the whole range)."""
     a = jax.random.uniform(key, (), jnp.float32, -1.0, 1.0)
     b = jax.random.uniform(jax.random.fold_in(key, 1), (), jnp.float32,
-                           -0.45, 0.45)
+                           -1.0, 1.0)
     return jnp.stack([jnp.cos(a) * jnp.cos(b), jnp.sin(a) * jnp.cos(b),
                       -jnp.sin(b)])
 
@@ -167,7 +174,8 @@ def _observe(params: PenParams, state: PenState) -> jax.Array:
         state.qpos[:adroit.N_HAND_DOF], state.qvel[:adroit.N_HAND_DOF],
         pen_pos, lin_vel, axis, ang_vel, state.desired,
         axis - state.desired, pen_pos - jnp.asarray(_DESIRED_POS)])
-    # 45-dim, the mj_envs pen observation size
+    # 61-dim: 20 qpos + 20 qvel + 21 object/target features (the mj_envs
+    # pen obs is 45 with its 24-DOF hand emitting qpos only)
 
 
 def _step(params: PenParams, state: PenState, action: jax.Array):
@@ -205,7 +213,7 @@ def make() -> Env:
     params = PenParams(model=build_model(), kp=jnp.float32(800.0),
                        kd=jnp.float32(2.0), mu=jnp.float32(1.2))
     n = adroit.N_HAND_DOF
-    return Env(name="pen-v0", d_obs=45, d_action=n,
+    return Env(name="pen-v0", d_obs=61, d_action=n,
                action_lows=np.full(n, -1.0, np.float32),
                action_highs=np.full(n, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,

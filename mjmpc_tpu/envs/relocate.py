@@ -11,8 +11,8 @@ body (quaternion state) manipulated only through frictional
 fingertip/table contact: grasping is contact physics, not the round-1
 proximity spring.
 
-One kinematic forest: 3 slides + 12 hinges + 1 free joint => nq = 22,
-nv = 21. Reward mirrors mj_envs relocate_v0.py: reach shaping, a lift
+One kinematic forest: 3 slides + 20 hinges + 1 free joint => nq = 30,
+nv = 29. Reward mirrors mj_envs relocate_v0.py: reach shaping, a lift
 bonus once the ball leaves the table, target shaping on both palm and
 ball, and staged bonuses inside 0.10 / 0.05 m.
 """
@@ -33,9 +33,10 @@ _DT = 0.002
 _FRAME_SKIP = 5
 _BALL_R = 0.035
 _N_ARM = 3
-_BALL_BODY = _N_ARM + adroit.N_DIGITS * 3      # body index 15
-_BALL_Q = _N_ARM + adroit.N_HAND_DOF           # q/v offset 15
-_N_ACT = _N_ARM + adroit.N_HAND_DOF            # 15
+_BALL_BODY = _N_ARM + adroit.N_DIGITS * adroit.BODIES_PER_DIGIT   # body index 23
+_BALL_Q = _N_ARM + adroit.N_HAND_DOF           # q/v offset 23
+_N_ACT = _N_ARM + adroit.N_HAND_DOF            # 23
+_N_TIPS = 2 * adroit.N_DIGITS
 _PALM_LOCAL = np.asarray(adroit.PALM_LOCAL, np.float32)
 _PALM_R = adroit.PALM_R   # small enough that the tips reach the ball
                           # equator before the pad caps the descent
@@ -87,12 +88,12 @@ def _ext_forces(params: RelocateParams):
     def fn(_, q, qd):
         pos, vel, apply = rb.points_frame(model, q, qd, _C_BODIES,
                                           jnp.asarray(_C_POINTS))
-        ball_p, ball_v = pos[8], vel[8]
+        ball_p, ball_v = pos[_N_TIPS], vel[_N_TIPS]
         forces = []
         # ball on the table plane
         f_ball = contact.sphere_plane_force(ball_p, ball_v, _BALL_R,
                                             params.kp, params.kd, params.mu)
-        for k in range(8):
+        for k in range(_N_TIPS):
             f_fb = contact.sphere_sphere_force(
                 pos[k], vel[k], _C_RADII[k], ball_p, ball_v, _BALL_R,
                 params.kp, params.kd, params.mu)
@@ -106,11 +107,12 @@ def _ext_forces(params: RelocateParams):
                 params.mu))
         # palm pad vs ball (push/top support) and vs table
         f_palm = contact.sphere_sphere_force(
-            pos[9], vel[9], _PALM_R, ball_p, ball_v, _BALL_R,
-            params.kp, params.kd, params.mu)
+            pos[_N_TIPS + 1], vel[_N_TIPS + 1], _PALM_R, ball_p,
+            ball_v, _BALL_R, params.kp, params.kd, params.mu)
         f_ball = f_ball - f_palm
         f_palm = f_palm + contact.sphere_plane_force(
-            pos[9], vel[9], _PALM_R, params.kp, params.kd, params.mu)
+            pos[_N_TIPS + 1], vel[_N_TIPS + 1], _PALM_R, params.kp,
+            params.kd, params.mu)
         forces += [f_ball, f_palm]
         tau = apply(jnp.stack(forces))
         return tau.at[2].add(hand_weight)
@@ -145,7 +147,7 @@ def _observe(params: RelocateParams, state: RelocateState) -> jax.Array:
         state.qpos[:_N_ACT], state.qvel[:_N_ACT],
         ball, state.qvel[_BALL_Q:_BALL_Q + 3],
         palm - ball, ball - state.target, palm - state.target])
-    # 45-dim
+    # 61-dim: 23 qpos + 23 qvel + 15 object/target features
 
 
 def _step(params: RelocateParams, state: RelocateState, action: jax.Array):
@@ -178,7 +180,7 @@ def _success(params: RelocateParams, state: RelocateState) -> jax.Array:
 def make() -> Env:
     params = RelocateParams(model=build_model(), kp=jnp.float32(800.0),
                             kd=jnp.float32(2.0), mu=jnp.float32(1.2))
-    return Env(name="relocate-v0", d_obs=45, d_action=_N_ACT,
+    return Env(name="relocate-v0", d_obs=61, d_action=_N_ACT,
                action_lows=np.full(_N_ACT, -1.0, np.float32),
                action_highs=np.full(_N_ACT, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,

@@ -1,22 +1,32 @@
-"""Headline benchmark: MPPI solves/s at H=32, N=4096 (BASELINE.md target:
->= 100 solves/s per chip on reacher_7dof-v0; falls back to the pendulum
-model if the arm model is not yet registered).
+"""Headline benchmark: MPPI solves/s at H=32, N=4096 on reacher_7dof-v0
+(BASELINE.md target: >= 100 solves/s per chip; falls back to the
+pendulum model if the arm model is not yet registered).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-Extra accountability fields (VERDICT r1 items 2-3):
-  value        — MEDIAN over WINDOWS timing windows (stable across runs;
-                 best-of-3 rode the remote-tunnel jitter and drifted >20%
-                 between reports)
+
+MEASUREMENT CONTRACT (round-3 correction): every timing window ends by
+READING a value that data-depends on every solve in the window (the
+donated solver-state chain), never by `block_until_ready` alone. On
+this remote-TPU runtime a faulted program reports "ready" immediately
+and unread chains can report enqueue rate rather than device rate — the
+r01/r02 headline numbers (19k-30k solves/s) were exactly that artifact:
+the true device-verified rate of the XLA rollout path is ~1.3 solves/s
+at this scale. The round-3 fused Pallas chain-rollout kernel
+(ops/pallas_chain.py, picked automatically by build_solve_fn) brings
+the read-verified rate to ~700 solves/s.
+
+Accountability fields:
+  value        — MEDIAN over WINDOWS read-verified timing windows
+  windows_p25/p50/p75 — the window-rate distribution
   spread_pct   — (p75 - p25) / median * 100 over the windows
-  flops_per_solve / bytes_per_solve — XLA cost_analysis of the compiled
-                 solve executable
-  achieved_tflops / mfu_pct_bf16 — achieved FLOP/s at the median rate,
-                 and its fraction of the v5e bf16 MXU peak (197 TFLOP/s;
-                 the solve is dominated by f32 elementwise rollout
-                 physics, so this is a roofline position statement, not a
-                 matmul-efficiency claim)
-  particle_substeps_per_s — N * H * substeps * solves/s, the physics
-                 throughput behind the solves/s number
+  contended / attempts — the chip is multi-tenant: if the window IQR
+                 exceeds SPREAD_OK_PCT the sweep re-runs (up to
+                 MAX_ATTEMPTS) and the tightest attempt is kept;
+                 contended=true marks a result that never tightened
+  fused        — whether the Pallas fused-rollout fast path was active
+  particle_substeps_per_s — N * H * ENGINE_SUBSTEPS * solves/s
+                 (reacher_7dof runs frame_skip=2 engine substeps per
+                 control step)
 """
 from __future__ import annotations
 
@@ -31,15 +41,35 @@ from mjmpc_tpu import envs, solvers
 HORIZON = 32
 NUM_PARTICLES = 4096
 TARGET_SOLVES_PER_S = 100.0
-# A window must hold >= ~0.4 s of device work: at ~25k solves/s a
-# 100-solve window is 4 ms and the median rides pure timer/dispatch
-# noise (the round-1 23% headline drift). The chip is multi-tenant
-# (random ~20% dips, no systematic ramp — measured trace in RESULTS.md),
-# so the median needs enough windows to shrug the dips off: 15 x 10k
-# puts the run-to-run agreement inside ~2-3%.
-WINDOWS = 15
-SOLVES_PER_WINDOW = 10_000
-V5E_BF16_PEAK_FLOPS = 197e12
+WINDOWS = 9
+TARGET_WINDOW_S = 0.5      # solves per window sized from a probe run
+SPREAD_OK_PCT = 10.0
+MAX_ATTEMPTS = 3
+ENGINE_SUBSTEPS = 2        # reacher frame_skip
+
+
+def _quartiles(rates):
+    rates = sorted(rates)
+    median = statistics.median(rates)
+    q1 = rates[len(rates) // 4]
+    q3 = rates[(3 * len(rates)) // 4]
+    return q1, median, q3, 100.0 * (q3 - q1) / median
+
+
+def _measure_with_retry(run_window):
+    best = None
+    attempts = 0
+    for _ in range(MAX_ATTEMPTS):
+        attempts += 1
+        result = _quartiles([run_window() for _ in range(WINDOWS)])
+        if best is None or result[3] < best[3]:
+            best = result
+        if result[3] <= SPREAD_OK_PCT:
+            break
+    q1, median, q3, spread_pct = best
+    return dict(p25=round(q1, 2), p50=round(median, 2),
+                p75=round(q3, 2), spread_pct=round(spread_pct, 2),
+                contended=spread_pct > SPREAD_OK_PCT, attempts=attempts)
 
 
 def main():
@@ -51,57 +81,49 @@ def main():
         lam=0.01, init_cov=3.0, step_size=0.55, gamma=1.0,
         filter_coeffs=(0.25, 0.8, 0.0), base_action="repeat")
 
+    fused = env.fused_rollout is not None
     solve = jax.jit(solvers.make_solve_fn(solver, env), donate_argnums=(2,))
-    solver_state = solver.init_state(jax.random.PRNGKey(0))
+    state_box = [solver.init_state(jax.random.PRNGKey(0))]
     env_state = env.init(env.params, jax.random.PRNGKey(1))
 
-    # Cost analysis via an AOT lower/compile. The timing loop stays on
-    # the JIT dispatch path: calling the AOT executable directly costs
-    # ~30 us of Python arg handling per call and HALVES the measured
-    # rate at these solve sizes (measured 14.6k vs ~30k solves/s). The
-    # duplicate compile is served by the compilation cache.
-    from mjmpc_tpu.harness.benchmark import cost_dict
-    cost = cost_dict(solve.lower(env.params, env_state,
-                                 solver_state).compile())
-    flops = float(cost.get("flops", 0.0))
-    bytes_accessed = float(cost.get("bytes accessed", 0.0))
-
-    # Warmup: one compile call, then ~0.4 s of steady work so the first
-    # timed window starts from a hot dispatch pipeline.
-    action, _, solver_state = solve(env.params, env_state, solver_state)
-    jax.block_until_ready(action)
-    for _ in range(10_000):
-        action, _, solver_state = solve(env.params, env_state, solver_state)
-    jax.block_until_ready(action)
-
-    rates = []
-    for _ in range(WINDOWS):
+    def run_chain(k):
+        """k donated-chain solves, timed through a value READ of the
+        final action (forces device completion of the whole chain and
+        surfaces device faults)."""
+        s = state_box[0]
         start = time.perf_counter()
-        for _ in range(SOLVES_PER_WINDOW):
-            action, _, solver_state = solve(env.params, env_state,
-                                            solver_state)
-        jax.block_until_ready(action)
-        rates.append(SOLVES_PER_WINDOW / (time.perf_counter() - start))
+        for _ in range(k):
+            action, _, s = solve(env.params, env_state, s)
+        value = float(action[0])
+        elapsed = time.perf_counter() - start
+        if value != value:
+            raise RuntimeError("solve chain produced NaN action")
+        state_box[0] = s
+        return k / elapsed
 
-    rates.sort()
-    median = statistics.median(rates)
-    q1 = rates[len(rates) // 4]
-    q3 = rates[(3 * len(rates)) // 4]
-    spread_pct = 100.0 * (q3 - q1) / median
-    achieved = flops * median
+    # compile + window sizing probe
+    rate = run_chain(3)
+    solves_per_window = max(20, int(TARGET_WINDOW_S * run_chain(20)))
+
+    dispatch = _measure_with_retry(lambda: run_chain(solves_per_window))
+    median = dispatch["p50"]
 
     print(json.dumps({
         "metric": f"mppi_solves_per_s[{name},H={HORIZON},N={NUM_PARTICLES}]",
-        "value": round(median, 2),
+        "value": median,
         "unit": "solves/s",
         "vs_baseline": round(median / TARGET_SOLVES_PER_S, 3),
-        "spread_pct": round(spread_pct, 2),
-        "flops_per_solve": flops,
-        "bytes_per_solve": bytes_accessed,
-        "achieved_tflops": round(achieved / 1e12, 4),
-        "mfu_pct_bf16": round(100.0 * achieved / V5E_BF16_PEAK_FLOPS, 3),
+        "spread_pct": dispatch["spread_pct"],
+        "windows_p25": dispatch["p25"],
+        "windows_p50": dispatch["p50"],
+        "windows_p75": dispatch["p75"],
+        "contended": dispatch["contended"],
+        "attempts": dispatch["attempts"],
+        "fused": fused,
+        "solves_per_window": solves_per_window,
+        "read_verified": True,
         "particle_substeps_per_s": round(
-            NUM_PARTICLES * HORIZON * median, 0),
+            NUM_PARTICLES * HORIZON * ENGINE_SUBSTEPS * median, 0),
     }))
 
 

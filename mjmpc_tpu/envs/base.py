@@ -48,6 +48,14 @@ class Env:
     # (reference reacher_env.py:112-125 `goal_achieved` semantics).
     success: Optional[Callable[[Any, Any], jax.Array]] = None
     max_episode_steps: int = 1000
+    # Optional fused rollout fast path: (params, state, mean [H, dA],
+    # noise [N, H, dA]) -> costs [N, H], equivalent to the costs of
+    # rollout_open_loop but computed by a single Pallas kernel
+    # (ops/pallas_chain.py). Model constants are BAKED at build time, so
+    # solvers must bypass it when planning against perturbed params
+    # (build_solve_fn's fused flag — the dynamics-randomization path).
+    fused_rollout: Optional[Callable[[Any, Any, jax.Array, jax.Array],
+                                     jax.Array]] = None
 
     def with_params(self, params) -> "Env":
         """Rebind the dynamics parameters (for randomization sweeps)."""

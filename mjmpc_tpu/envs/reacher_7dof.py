@@ -160,12 +160,26 @@ def _make(continual_period: int, name: str) -> Env:
     params = ReacherParams(model=build_model(),
                            continual_period=jnp.array(continual_period,
                                                       jnp.int32))
+
+    # Fused Pallas rollout fast path (plain reacher only: the continual
+    # variant's target can move WITHIN a planning rollout, which the
+    # costs-only kernel does not model). Model constants are baked at
+    # build time — build_solve_fn skips the path for dyn-randomized
+    # planning params.
+    fused = None
+    if continual_period == 0:
+        from ..ops.pallas_chain import build_chain_rollout
+        _roll = build_chain_rollout(params.model, n_substeps=_FRAME_SKIP)
+
+        def fused(p, state, mean, noise):
+            return _roll(state.qpos, state.qvel, state.target, mean, noise)
+
     return Env(
         name=name, d_obs=D_OBS, d_action=N_JOINTS,
         action_lows=np.full(N_JOINTS, -1.0, np.float32),
         action_highs=np.full(N_JOINTS, 1.0, np.float32),
         params=params, init=_init, step=_step, observe=_observe,
-        success=_success, max_episode_steps=75)
+        success=_success, max_episode_steps=75, fused_rollout=fused)
 
 
 def make() -> Env:

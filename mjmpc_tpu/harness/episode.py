@@ -21,7 +21,8 @@ from ..envs.base import Env
 
 
 def _build_step_fn(solver, env: Env, shard_particles=None,
-                   sim_env: Env = None, guard: bool = True):
+                   sim_env: Env = None, guard: bool = True,
+                   fused="auto"):
     """One MPC-in-the-loop control step: (carry, params) -> (carry, out).
 
     guard=True (default, opt out with run_mpc --no_guard) wraps every
@@ -31,7 +32,8 @@ def _build_step_fn(solver, env: Env, shard_particles=None,
     recovery the reference lacks entirely (SURVEY.md §5)."""
     plan_env = sim_env if sim_env is not None else env
     solve = solvers.make_solve_fn(solver, plan_env,
-                                  shard_particles=shard_particles)
+                                  shard_particles=shard_particles,
+                                  fused=fused)
     if guard:
         solve = solvers.guard_finite(solve, solver)
 
@@ -53,7 +55,7 @@ def _build_step_fn(solver, env: Env, shard_particles=None,
 
 def build_episode_fn(solver, env: Env, episode_length: int,
                      shard_particles=None, sim_env: Env = None,
-                     guard: bool = True):
+                     guard: bool = True, fused="auto"):
     """episode(real_params, sim_params, key) -> dict of [T, ...] arrays.
 
     The solver plans against sim_params (through sim_env's dynamics
@@ -61,7 +63,8 @@ def build_episode_fn(solver, env: Env, episode_length: int,
     example_mpc.py:46); the environment advances under real_params via
     env.step. The two envs must share the state pytree structure.
     """
-    step_fn = _build_step_fn(solver, env, shard_particles, sim_env, guard)
+    step_fn = _build_step_fn(solver, env, shard_particles, sim_env, guard,
+                             fused=fused)
 
     def episode(real_params, sim_params, key):
         env_key, solver_key = jax.random.split(key)
@@ -96,9 +99,16 @@ def run_episodes(solver, env: Env, n_episodes: int, episode_length: int,
     keys = jnp.stack([jax.random.PRNGKey(base_seed + i * 12345)
                       for i in range(n_episodes)])
 
+    # The fused Pallas rollout bakes the env's build-time model
+    # constants; planning against ANY other params object (dynamics
+    # randomization, biased sim models) must take the general path.
+    plan_env = sim_env if sim_env is not None else env
+    fused = "auto" if sim_params is plan_env.params else False
+
     if chunk_size is None or chunk_size >= episode_length:
         episode = build_episode_fn(solver, env, episode_length,
-                                   sim_env=sim_env, guard=guard)
+                                   sim_env=sim_env, guard=guard,
+                                   fused=fused)
         batched = jax.jit(jax.vmap(
             lambda k: episode(env.params, sim_params, k)))
         out, final_solver_states = batched(keys)
@@ -108,7 +118,8 @@ def run_episodes(solver, env: Env, n_episodes: int, episode_length: int,
         # can exceed the remote worker's compile limits as one fused
         # T-step program; the per-chunk program is T/chunk_size smaller
         # and carries (env_state, solver_state) exactly.
-        step_fn = _build_step_fn(solver, env, sim_env=sim_env, guard=guard)
+        step_fn = _build_step_fn(solver, env, sim_env=sim_env, guard=guard,
+                                 fused=fused)
 
         def make_chunk(length):
             def chunk(carry):

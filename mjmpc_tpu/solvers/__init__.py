@@ -43,6 +43,8 @@ def make_solver(name: str, **params):
 
 def make_solve_fn(solver, env, **kwargs):
     """Dispatch to the right solve builder for the solver family."""
+    if not isinstance(solver, GaussianMPC):
+        kwargs.pop("fused", None)   # fused fast path: GaussianMPC family only
     if isinstance(solver, PFMPC):
         kwargs.pop("calc_val", None)
         return build_pf_solve_fn(solver, env, **kwargs)

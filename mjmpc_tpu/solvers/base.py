@@ -75,6 +75,13 @@ class GaussianMPC:
         return ops.gamma_sequence(self.gamma, self.horizon)
 
     @property
+    def uses_observations(self) -> bool:
+        """Whether update()/value() read traj.observations — gates the
+        costs-only fused-rollout fast path (MPPI/CEM/RS/DMD: no;
+        MPPIQ with a plugged q_fn: yes)."""
+        return False
+
+    @property
     def init_cov_diag(self) -> np.ndarray:
         return np.array([self.init_cov] * self.d_action, np.float32)
 
@@ -159,7 +166,8 @@ class GaussianMPC:
 
 
 def build_solve_fn(solver: GaussianMPC, env: Env, calc_val: bool = False,
-                   hotstart: bool = True, shard_particles=None):
+                   hotstart: bool = True, shard_particles=None,
+                   fused: Any = "auto"):
     """One full MPC solve as a pure function — the reference
     Controller.optimize (controller.py:207-257) compiled end-to-end.
 
@@ -172,20 +180,39 @@ def build_solve_fn(solver: GaussianMPC, env: Env, calc_val: bool = False,
     arrays whose leading axis is the particle axis (see parallel.sharded).
     GSPMD then propagates the layout through the rollout scan and lowers
     the solver's particle reductions to ICI collectives.
+
+    fused: use the env's fused Pallas rollout (costs-only fast path).
+    "auto" = yes when the env provides one, the solver never reads
+    trajectory observations, and the solve is unsharded. Pass False when
+    planning against params that differ from the env's build-time params
+    (dynamics randomization — the kernel bakes model constants).
     """
     shard = shard_particles or (lambda x: x)
+    if fused == "auto":
+        fused = (env.fused_rollout is not None
+                 and not solver.uses_observations
+                 and shard_particles is None)
+
+    def do_rollout(env_params, env_state, mean, noise):
+        if fused:
+            costs = env.fused_rollout(env_params, env_state, mean, noise)
+            return Trajectories(
+                observations=None, actions=mean[None] + noise,
+                costs=costs, dones=None, next_observations=None,
+                successes=None)
+        return rollout_open_loop(env, env_params, env_state, mean, noise)
 
     def solve(env_params, env_state, solver_state: GaussianState):
         s = solver_state
         for _ in range(solver.n_iters):  # static unroll (n_iters is 1-4)
             noise = shard(solver.sample_noise(s))
-            traj = rollout_open_loop(env, env_params, env_state, s.mean, noise)
+            traj = do_rollout(env_params, env_state, s.mean, noise)
             s = solver.update(s, traj)
 
         action = solver.act(s)
         if calc_val:
             noise = shard(solver.sample_noise(s))
-            traj = rollout_open_loop(env, env_params, env_state, s.mean, noise)
+            traj = do_rollout(env_params, env_state, s.mean, noise)
             value = solver.value(s, traj)
         else:
             value = jnp.float32(0.0)

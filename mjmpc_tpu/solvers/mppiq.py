@@ -32,6 +32,12 @@ class MPPIQ(GaussianMPC):
     # q_fn(observations [.., d_obs], actions [.., d_action]) -> qvals [..]
     q_fn: Optional[Callable] = None
 
+    @property
+    def uses_observations(self) -> bool:
+        """A plugged Q function reads rollout observations, which the
+        costs-only fused rollout does not produce."""
+        return self.q_fn is not None
+
     def calculate_returns(self, costs, qvals) -> jax.Array:
         """TD(lambda) blended returns (mppiq.py:104-126)."""
         if qvals is None:

@@ -31,34 +31,47 @@ def relocate_env():
     return envs.make("relocate-v0")
 
 
+from mjmpc_tpu.envs import adroit
+
+_PEN_Q = adroit.N_HAND_DOF          # 20
+_NA = adroit.N_HAND_DOF             # pen action dim
+_NARM = 3 + adroit.N_HAND_DOF       # arm-hand action dim (23)
+
+
 def _axis(st):
-    return np.asarray(rb._quat_to_mat(st.qpos[15:19])[:, 0])
+    return np.asarray(
+        rb._quat_to_mat(st.qpos[_PEN_Q + 3:_PEN_Q + 7])[:, 0])
 
 
 def _curl_pattern(d0, d1, d2, d3):
-    a = jnp.zeros(12)
+    """Press the four corner fingers (digit order: (+x,+y), (-x,+y),
+    (+x,-y), (-x,-y); the thumb, digit 4, stays passive): set all three
+    curl joints of each digit."""
+    a = jnp.zeros(_NA)
     for d, c in enumerate((d0, d1, d2, d3)):
-        a = a.at[3 * d + 1].set(c).at[3 * d + 2].set(c)
+        for j in (1, 2, 3):
+            a = a.at[4 * d + j].set(c)
     return a
 
 
 def test_pen_obs_and_action_dims(pen_env):
-    assert pen_env.d_obs == 45       # the mj_envs pen observation size
-    assert pen_env.d_action == 12    # hand joints only
-    assert pen_env.params.model.nq == 19
-    assert pen_env.params.model.nv == 18
+    assert pen_env.d_obs == 61       # 20 qpos + 20 qvel + 21 features
+    assert pen_env.d_action == 20    # hand joints only (5 digits x 4)
+    assert pen_env.params.model.nq == 27
+    assert pen_env.params.model.nv == 26
     s = pen_env.init(pen_env.params, jax.random.PRNGKey(0))
-    assert pen_env.observe(pen_env.params, s).shape == (45,)
+    assert pen_env.observe(pen_env.params, s).shape == (61,)
 
 
 def test_pen_rest_is_stable(pen_env):
     step = jax.jit(pen_env.step)
     st = pen_env.init(pen_env.params, jax.random.PRNGKey(0))
     for _ in range(50):
-        st, _, r, _ = step(pen_env.params, st, jnp.zeros(12))
+        st, _, r, _ = step(pen_env.params, st, jnp.zeros(_NA))
     assert bool(jnp.all(jnp.isfinite(st.qpos)))
-    # pen balanced on the cradle at its rest height, axis ~ e_x
-    np.testing.assert_allclose(float(st.qpos[14]), 0.032, atol=0.004)
+    # pen balanced on the raised cradle at its rest height, axis ~ e_x
+    np.testing.assert_allclose(float(st.qpos[_PEN_Q + 2]), 0.072,
+                               atol=0.004)
     assert _axis(st)[0] > 0.99
 
 
@@ -86,7 +99,7 @@ def test_pen_random_rollout_finite(pen_env):
     st = pen_env.init(pen_env.params, jax.random.PRNGKey(1))
     key = jax.random.PRNGKey(2)
     for i in range(75):
-        a = jax.random.uniform(jax.random.fold_in(key, i), (12,),
+        a = jax.random.uniform(jax.random.fold_in(key, i), (_NA,),
                                minval=-1.0, maxval=1.0)
         st, _, r, _ = step(pen_env.params, st, a)
     assert bool(jnp.all(jnp.isfinite(st.qpos)))
@@ -99,7 +112,7 @@ def test_pen_mppi_improves_alignment(pen_env):
     env = pen_env
     # full reference settings solve pen at 100% (RESULTS.md); this
     # scaled-down budget still has to beat doing nothing on the same seed
-    mppi = solvers.MPPI(d_action=12, horizon=16, num_particles=64,
+    mppi = solvers.MPPI(d_action=_NA, horizon=16, num_particles=64,
                         init_cov=0.3, lam=0.15,
                         filter_coeffs=(0.25, 0.8, 0.0), gamma=1.0,
                         n_iters=1, step_size=1.0, alpha=1)
@@ -129,18 +142,18 @@ def test_pen_mppi_improves_alignment(pen_env):
 
 def test_relocate_dims_and_rest(relocate_env):
     env = relocate_env
-    assert env.d_action == 15        # 3 arm slides + 12 hand joints
-    assert env.params.model.nq == 22 and env.params.model.nv == 21
+    assert env.d_action == _NARM     # 3 arm slides + 20 hand joints
+    assert env.params.model.nq == 30 and env.params.model.nv == 29
     step = jax.jit(env.step)
     st = env.init(env.params, jax.random.PRNGKey(0))
-    ball0 = np.asarray(st.qpos[15:18])
+    ball0 = np.asarray(st.qpos[_NARM:_NARM + 3])
     for _ in range(50):
-        st, _, _, _ = step(env.params, st, jnp.zeros(15))
+        st, _, _, _ = step(env.params, st, jnp.zeros(_NARM))
     assert bool(jnp.all(jnp.isfinite(st.qpos)))
     # gravity-compensated hand holds altitude; ball stays on the table
     assert abs(float(st.qpos[2]) - 0.18) < 0.02
-    np.testing.assert_allclose(np.asarray(st.qpos[15:18]), ball0,
-                               atol=0.005)
+    np.testing.assert_allclose(np.asarray(st.qpos[_NARM:_NARM + 3]),
+                               ball0, atol=0.005)
 
 
 def test_relocate_arm_authority(relocate_env):
@@ -152,7 +165,7 @@ def test_relocate_arm_authority(relocate_env):
     x0 = float(st.qpos[0])
     for _ in range(30):
         st, _, _, _ = step(env.params, st,
-                           jnp.zeros(15).at[0].set(1.0))
+                           jnp.zeros(_NARM).at[0].set(1.0))
     assert float(st.qpos[0]) > x0 + 0.05
     assert bool(jnp.all(jnp.isfinite(st.qpos)))
 
@@ -204,16 +217,16 @@ def door_env():
 
 def test_hammer_dims_and_rest(hammer_env):
     env = hammer_env
-    assert env.d_action == 15
-    assert env.params.model.nq == 23 and env.params.model.nv == 22
+    assert env.d_action == _NARM
+    assert env.params.model.nq == 31 and env.params.model.nv == 30
     step = jax.jit(env.step)
     st = env.init(env.params, jax.random.PRNGKey(0))
     for _ in range(50):
-        st, _, _, _ = step(env.params, st, jnp.zeros(15))
+        st, _, _, _ = step(env.params, st, jnp.zeros(_NARM))
     assert bool(jnp.all(jnp.isfinite(st.qpos)))
     # nail never moves without a strike; hammer rests on the table
-    assert abs(float(st.qpos[22])) < 1e-4
-    assert abs(float(st.qpos[17]) - 0.012) < 0.01
+    assert abs(float(st.qpos[30])) < 1e-4
+    assert abs(float(st.qpos[_NARM + 2]) - 0.012) < 0.01
 
 
 def test_hammer_strike_drives_nail(hammer_env):
@@ -223,18 +236,19 @@ def test_hammer_strike_drives_nail(hammer_env):
     env = hammer_env
     step = jax.jit(env.step)
     s = env.init(env.params, jax.random.PRNGKey(0))
-    st = s._replace(qpos=s.qpos.at[15].set(0.145).at[16].set(0.0)
-                    .at[17].set(0.12),
-                    qvel=s.qvel.at[17].set(-1.5))
+    hq = _NARM
+    st = s._replace(qpos=s.qpos.at[hq].set(0.145).at[hq + 1].set(0.0)
+                    .at[hq + 2].set(0.12),
+                    qvel=s.qvel.at[hq + 2].set(-1.5))
     for _ in range(30):
-        st, _, _, _ = step(env.params, st, jnp.zeros(15))
-    depth1 = -float(st.qpos[22])
+        st, _, _, _ = step(env.params, st, jnp.zeros(_NARM))
+    depth1 = -float(st.qpos[30])
     assert depth1 > 0.005, depth1
     for _ in range(3):
-        st = st._replace(qvel=st.qvel.at[17].set(-1.5))
+        st = st._replace(qvel=st.qvel.at[hq + 2].set(-1.5))
         for _ in range(15):
-            st, _, _, _ = step(env.params, st, jnp.zeros(15))
-    depth2 = -float(st.qpos[22])
+            st, _, _, _ = step(env.params, st, jnp.zeros(_NARM))
+    depth2 = -float(st.qpos[30])
     assert depth2 > depth1  # strikes accumulate, no spring-back
     assert bool(jnp.all(jnp.isfinite(st.qpos)))
 
@@ -247,16 +261,17 @@ def test_door_latch_gates_the_door(door_env):
     step = jax.jit(env.step)
     s = env.init(env.params, jax.random.PRNGKey(0))
     outcomes = {}
+    dq = _NARM
     for latch0 in (0.0, 1.2):
-        st = s._replace(qpos=s.qpos.at[16].set(latch0),
-                        qvel=s.qvel.at[15].set(3.0))
+        st = s._replace(qpos=s.qpos.at[dq + 1].set(latch0),
+                        qvel=s.qvel.at[dq].set(3.0))
         # hold the latch where we put it while the door swings (the
         # return spring would otherwise re-engage the plate mid-swing)
         for _ in range(40):
-            st = st._replace(qpos=st.qpos.at[16].set(latch0),
-                             qvel=st.qvel.at[16].set(0.0))
-            st, _, _, _ = step(env.params, st, jnp.zeros(15))
-        outcomes[latch0] = float(st.qpos[15])
+            st = st._replace(qpos=st.qpos.at[dq + 1].set(latch0),
+                             qvel=st.qvel.at[dq + 1].set(0.0))
+            st, _, _, _ = step(env.params, st, jnp.zeros(_NARM))
+        outcomes[latch0] = float(st.qpos[dq])
     assert outcomes[0.0] < 0.12, outcomes
     assert outcomes[1.2] > outcomes[0.0] + 0.1, outcomes
 
@@ -267,7 +282,7 @@ def test_door_random_rollout_finite(door_env):
     st = env.init(env.params, jax.random.PRNGKey(1))
     key = jax.random.PRNGKey(2)
     for i in range(75):
-        a = jax.random.uniform(jax.random.fold_in(key, i), (15,),
+        a = jax.random.uniform(jax.random.fold_in(key, i), (_NARM,),
                                minval=-1.0, maxval=1.0)
         st, _, _, _ = step(env.params, st, a)
     assert bool(jnp.all(jnp.isfinite(st.qpos)))

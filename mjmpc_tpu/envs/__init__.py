@@ -27,9 +27,23 @@ def register(name: str, factory: Callable[..., Env]) -> None:
     _REGISTRY[name] = factory
 
 
+_CACHE: Dict[str, Env] = {}
+
+
 def make(name: str, **kwargs) -> Env:
+    """Build (or fetch) an env. No-kwarg envs are cached per name: Env
+    is an immutable bundle of pure functions + param pytree, and reusing
+    the same instance keeps jit/pallas compilation caches warm — the
+    hand-suite fused kernels (ops/pallas_forest.py) are expensive to
+    compile, and a fresh `make` per call would rebuild distinct closures
+    that miss every cache."""
     if name not in _REGISTRY:
         raise ValueError(f"unknown env {name!r}; known: {sorted(_REGISTRY)}")
+    if not kwargs:
+        env = _CACHE.get(name)
+        if env is None:
+            env = _CACHE[name] = _REGISTRY[name]()
+        return env
     return _REGISTRY[name](**kwargs)
 
 

@@ -4,14 +4,14 @@ The reference's hammer-v0 is the mj_envs Adroit task — the hand grabs a
 hammer from the table and hammers a nail into a board; success when the
 nail is driven nearly flush (README.md:33-35,
 examples/configs/hand/hammer-v0.yml "Hammering a nail with a 24-DOF
-Shadow Hand"). Here the 3-slide arm + 12-DOF four-digit hand
+Shadow Hand"). Here the 3-slide arm + 20-DOF five-digit hand
 (`envs/adroit.py`, as in relocate-v0) manipulates a FREE hammer body
 (quaternion state, weighted head) purely through frictional contact, and
 the nail is a 1-DOF slide with heavy damping plus a dry-friction
 resistance — it only advances under real impact/press force from the
 hammer head, never from the reward.
 
-nq = 3 + 12 + 7 + 1 = 23, nv = 22. Reward mirrors mj_envs hammer_v0.py:
+nq = 3 + 20 + 7 + 1 = 31, nv = 30. Reward mirrors mj_envs hammer_v0.py:
 palm-to-hammer reach shaping, hammer-head-to-nail shaping, staged
 bonuses at half / full drive depth; success = nail driven > 95% of its
 travel.
@@ -34,8 +34,8 @@ _FRAME_SKIP = 5
 _N_ARM = 3
 _HAMMER_BODY = _N_ARM + adroit.N_DIGITS * adroit.BODIES_PER_DIGIT   # 23
 _NAIL_BODY = _HAMMER_BODY + 1                  # 24
-_HAMMER_Q = _N_ARM + adroit.N_HAND_DOF         # qpos 23..30, qvel 23..29
-_NAIL_Q = _HAMMER_Q + 7                        # qpos 30
+_HAMMER_Q = _N_ARM + adroit.N_HAND_DOF         # qpos 23..29, qvel 23..28
+_NAIL_Q = _HAMMER_Q + 7                        # qpos 30 (last)
 _NAIL_V = _HAMMER_Q + 6                        # qvel 29
 _N_ACT = _N_ARM + adroit.N_HAND_DOF            # 23
 _N_TIPS = 2 * adroit.N_DIGITS
@@ -62,8 +62,8 @@ class HammerParams(NamedTuple):
 
 
 class HammerState(NamedTuple):
-    qpos: jax.Array     # [23]
-    qvel: jax.Array     # [22]
+    qpos: jax.Array     # [31]
+    qvel: jax.Array     # [30]
     timestep: jax.Array
 
 
@@ -210,6 +210,98 @@ def _success(params: HammerParams, state: HammerState) -> jax.Array:
     return -state.qpos[_NAIL_Q] > 0.95 * _NAIL_TRAVEL
 
 
+def _build_fused_rollout(model: rb.ChainModel):
+    """Fused Pallas rollout for hammer-v0 (ops/pallas_forest.py). The
+    hammer's heavy head puts its com off the frame origin, so this env
+    exercises the kernel's coupled 6x6 free-body solve; the nail's
+    dry-friction law and the arm gravity compensation ride
+    joint_torque_fn. kp/kd/mu ride extras; model constants are baked."""
+    from ..ops import pallas_forest as pf
+
+    points = [(int(b), np.asarray(p, np.float32))
+              for (b, _, _), p in zip(
+                  [d for d in _DIGITS for _ in range(2)],
+                  _C_POINTS[:_N_TIPS])]
+    points += [(_HAMMER_BODY, np.array([-_HANDLE_HL, 0, 0], np.float32)),
+               (_HAMMER_BODY, np.array([_HANDLE_HL, 0, 0], np.float32)),
+               (_HAMMER_BODY, _HEAD_LOCAL),
+               (_NAIL_BODY, np.zeros(3, np.float32)),
+               (2, _PALM_LOCAL)]
+    hand_weight = float(9.81 * np.sum(np.asarray(model.mass)[:_HAMMER_BODY]))
+
+    def force_fn(states, extras, rots, poss):
+        kp, kd, mu = extras[0], extras[1], extras[2]
+        (cap_a, vcap_a) = states[_N_TIPS]
+        (cap_b, vcap_b) = states[_N_TIPS + 1]
+        (head, vhead) = states[_N_TIPS + 2]
+        (nail, vnail) = states[_N_TIPS + 3]
+        (palm, vpalm) = states[_N_TIPS + 4]
+        f_cap_a = pf.sphere_plane_force(cap_a, vcap_a, _HANDLE_R,
+                                        kp, kd, mu)
+        f_cap_b = pf.sphere_plane_force(cap_b, vcap_b, _HANDLE_R,
+                                        kp, kd, mu)
+        forces = []
+        for k in range(_N_TIPS):
+            p, v = states[k]
+            f_fh, t = pf.sphere_segment_force(
+                p, v, float(_C_RADII[k]), cap_a, cap_b, vcap_a, vcap_b,
+                _HANDLE_R, kp, kd, mu)
+            f_cap_a = pf._vsub(f_cap_a, pf._vscale(1.0 - t, f_fh))
+            f_cap_b = pf._vsub(f_cap_b, pf._vscale(t, f_fh))
+            forces.append(pf._vadd(f_fh, pf.sphere_plane_force(
+                p, v, float(_C_RADII[k]), kp, kd, mu)))
+        f_head = pf.sphere_plane_force(head, vhead, _HEAD_R, kp, kd, mu)
+        f_strike = pf.sphere_sphere_force(head, vhead, _HEAD_R,
+                                          nail, vnail, _NAIL_R,
+                                          kp, kd, mu)
+        f_head = pf._vadd(f_head, f_strike)
+        f_nail = pf._vscale(np.float32(-1.0), f_strike)
+        f_palm, tp = pf.sphere_segment_force(
+            palm, vpalm, _PALM_R, cap_a, cap_b, vcap_a, vcap_b,
+            _HANDLE_R, kp, kd, mu)
+        f_cap_a = pf._vsub(f_cap_a, pf._vscale(1.0 - tp, f_palm))
+        f_cap_b = pf._vsub(f_cap_b, pf._vscale(tp, f_palm))
+        forces += [f_cap_a, f_cap_b, f_head, f_nail, f_palm]
+        return forces
+
+    force_fn.points = points
+    palm_local = [np.float32(v) for v in _PALM_LOCAL]
+    head_local = [np.float32(v) for v in _HEAD_LOCAL]
+
+    def torque_fn(q, qd, extras):
+        return {2: np.float32(hand_weight),
+                _NAIL_BODY: np.float32(-_NAIL_RESIST)
+                * jnp.tanh(qd[_NAIL_BODY] / np.float32(0.02))}
+
+    def cost_fn(q, qd, rots, poss, extras):
+        palm = pf._vadd(poss[2], pf._mv(rots[2], palm_local))
+        hammer = poss[_HAMMER_BODY]
+        head = pf._vadd(hammer, pf._mv(rots[_HAMMER_BODY], head_local))
+        nail = poss[_NAIL_BODY]
+        depth = -q[_NAIL_BODY]
+        reward = (np.float32(-0.1) * pf._vnorm(pf._vsub(palm, hammer))
+                  - pf._vnorm(pf._vsub(head, nail))
+                  + np.float32(2.0 / _NAIL_TRAVEL) * depth
+                  + jnp.where(depth > 0.5 * _NAIL_TRAVEL,
+                              np.float32(25.0), 0.0)
+                  + jnp.where(depth > 0.95 * _NAIL_TRAVEL,
+                              np.float32(75.0), 0.0))
+        return -reward
+
+    roll = pf.build_forest_rollout(
+        model, n_substeps=_FRAME_SKIP, act_bodies=list(range(_N_ACT)),
+        force_fn=force_fn, cost_fn=cost_fn, n_extras=3,
+        joint_torque_fn=torque_fn)
+
+    def fused(params: HammerParams, state: HammerState, mean, noise):
+        extras = jnp.stack([params.kp, params.kd, params.mu])
+        return roll(state.qpos, state.qvel, extras, mean, noise)
+
+    fused.cpu_auto = False   # XLA-CPU codegen of this kernel
+    # takes >10 min (see solvers/base.py auto gate); TPU/Mosaic is fine
+    return fused
+
+
 def make() -> Env:
     params = HammerParams(model=build_model(), kp=jnp.float32(800.0),
                           kd=jnp.float32(2.0), mu=jnp.float32(1.2))
@@ -217,7 +309,8 @@ def make() -> Env:
                action_lows=np.full(_N_ACT, -1.0, np.float32),
                action_highs=np.full(_N_ACT, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,
-               success=_success, max_episode_steps=75)
+               success=_success, max_episode_steps=75,
+               fused_rollout=_build_fused_rollout(build_model()))
 
 
 from .randomize import register_names as _register_names  # noqa: E402

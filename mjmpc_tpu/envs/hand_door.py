@@ -4,7 +4,7 @@ The reference's door-v0 is the mj_envs Adroit task — the hand undoes a
 latch and swings the door open; success when the door hinge passes 1.35
 rad (README.md:33-35, examples/configs/hand/door-v0.yml). Round 1
 aliased this family to sawyer_door; this module is the hand-actuated
-rebuild on the 3-slide arm + 12-DOF four-digit hand (`envs/adroit.py`),
+rebuild on the 3-slide arm + 20-DOF five-digit hand (`envs/adroit.py`),
 matching the Adroit task structure:
 
 - the DOOR is a vertical-axis hinge body, spring-loaded shut and BLOCKED
@@ -17,7 +17,7 @@ matching the Adroit task structure:
   capsule (8 digit spheres + palm pad), exactly like pen/relocate/
   hammer.
 
-nq = nv = 3 + 12 + 1 + 1 = 17 (all scalar joints — the free-object
+nq = nv = 3 + 20 + 1 + 1 = 25 (all scalar joints — the free-object
 machinery is not needed; the challenge is the latch-then-pull sequence).
 """
 from __future__ import annotations
@@ -37,9 +37,9 @@ _DT = 0.002
 _FRAME_SKIP = 5
 _N_ARM = 3
 _DOOR_BODY = _N_ARM + adroit.N_DIGITS * adroit.BODIES_PER_DIGIT   # 23
-_LATCH_BODY = _DOOR_BODY + 1                   # 16
+_LATCH_BODY = _DOOR_BODY + 1                   # 24
 _DOOR_Q = _N_ARM + adroit.N_HAND_DOF           # 23
-_LATCH_Q = _DOOR_Q + 1                         # 16
+_LATCH_Q = _DOOR_Q + 1                         # 24
 _N_ACT = _N_ARM + adroit.N_HAND_DOF            # 23
 _N_TIPS = 2 * adroit.N_DIGITS
 
@@ -72,8 +72,8 @@ class DoorParams(NamedTuple):
 
 
 class DoorState(NamedTuple):
-    qpos: jax.Array     # [17]
-    qvel: jax.Array     # [17]
+    qpos: jax.Array     # [25]
+    qvel: jax.Array     # [25]
     timestep: jax.Array
 
 
@@ -205,14 +205,100 @@ def _success(params: DoorParams, state: DoorState) -> jax.Array:
     return state.qpos[_DOOR_Q] > 1.35
 
 
+def _build_fused_rollout(model: rb.ChainModel):
+    """Fused Pallas rollout for door-v0 (ops/pallas_forest.py). All
+    scalar joints — the door+latch form one 2-DOF tree; the latch return
+    spring, the gated strike-plate blocking torque, and the arm gravity
+    compensation ride joint_torque_fn. kp/kd/mu ride extras; model
+    constants are baked."""
+    from ..ops import pallas_forest as pf
+
+    points = [(int(b), np.asarray(p, np.float32))
+              for (b, _, _), p in zip(
+                  [d for d in _DIGITS for _ in range(2)],
+                  _C_POINTS[:_N_TIPS])]
+    points += [(_LATCH_BODY, _HANDLE_A), (_LATCH_BODY, _HANDLE_B),
+               (2, _PALM_LOCAL)]
+    hand_weight = float(9.81 * np.sum(np.asarray(model.mass)[:_DOOR_BODY]))
+
+    def force_fn(states, extras, rots, poss):
+        kp, kd, mu = extras[0], extras[1], extras[2]
+        (ha, vha) = states[_N_TIPS]
+        (hb, vhb) = states[_N_TIPS + 1]
+        (palm, vpalm) = states[_N_TIPS + 2]
+        zero = jnp.zeros_like(ha[0])
+        f_ha, f_hb = [zero] * 3, [zero] * 3
+        forces = []
+        for k in range(_N_TIPS):
+            p, v = states[k]
+            f, t = pf.sphere_segment_force(
+                p, v, float(_C_RADII[k]), ha, hb, vha, vhb,
+                _HANDLE_R, kp, kd, mu)
+            forces.append(f)
+            f_ha = pf._vsub(f_ha, pf._vscale(1.0 - t, f))
+            f_hb = pf._vsub(f_hb, pf._vscale(t, f))
+        f_palm, tp = pf.sphere_segment_force(
+            palm, vpalm, _PALM_R, ha, hb, vha, vhb, _HANDLE_R,
+            kp, kd, mu)
+        f_ha = pf._vsub(f_ha, pf._vscale(1.0 - tp, f_palm))
+        f_hb = pf._vsub(f_hb, pf._vscale(tp, f_palm))
+        forces += [f_ha, f_hb, f_palm]
+        return forces
+
+    force_fn.points = points
+    palm_local = [np.float32(v) for v in _PALM_LOCAL]
+    mid_local = [np.float32(v) for v in 0.5 * (_HANDLE_A + _HANDLE_B)]
+
+    def torque_fn(q, qd, extras):
+        gate = (jax.nn.sigmoid((np.float32(_LATCH_THRESH)
+                                - q[_LATCH_BODY]) / np.float32(0.05))
+                * jax.nn.sigmoid((np.float32(0.12)
+                                  - q[_DOOR_BODY]) / np.float32(0.04)))
+        return {
+            2: np.float32(hand_weight),
+            _LATCH_BODY: np.float32(-_LATCH_SPRING) * q[_LATCH_BODY],
+            _DOOR_BODY: (np.float32(-_DOOR_SPRING) * q[_DOOR_BODY]
+                         - np.float32(_BLOCK_K)
+                         * jnp.tanh(q[_DOOR_BODY] / np.float32(0.03))
+                         * gate),
+        }
+
+    def cost_fn(q, qd, rots, poss, extras):
+        handle = pf._vadd(poss[_LATCH_BODY],
+                          pf._mv(rots[_LATCH_BODY], mid_local))
+        palm = pf._vadd(poss[2], pf._mv(rots[2], palm_local))
+        door, latch = q[_DOOR_BODY], q[_LATCH_BODY]
+        reward = (np.float32(-0.1) * pf._vnorm(pf._vsub(palm, handle))
+                  + np.float32(0.5) * latch + np.float32(2.0) * door
+                  + jnp.where(door > 0.2, np.float32(2.0), 0.0)
+                  + jnp.where(door > 1.0, np.float32(8.0), 0.0)
+                  + jnp.where(door > 1.35, np.float32(10.0), 0.0))
+        return -reward
+
+    roll = pf.build_forest_rollout(
+        model, n_substeps=_FRAME_SKIP, act_bodies=list(range(_N_ACT)),
+        force_fn=force_fn, cost_fn=cost_fn, n_extras=3,
+        joint_torque_fn=torque_fn)
+
+    def fused(params: DoorParams, state: DoorState, mean, noise):
+        extras = jnp.stack([params.kp, params.kd, params.mu])
+        return roll(state.qpos, state.qvel, extras, mean, noise)
+
+    fused.cpu_auto = False   # XLA-CPU codegen of this kernel
+    # takes >10 min (see solvers/base.py auto gate); TPU/Mosaic is fine
+    return fused
+
+
 def make() -> Env:
-    params = DoorParams(model=build_model(), kp=jnp.float32(800.0),
+    model = build_model()
+    params = DoorParams(model=model, kp=jnp.float32(800.0),
                         kd=jnp.float32(2.0), mu=jnp.float32(1.2))
     return Env(name="door-v0", d_obs=56, d_action=_N_ACT,
                action_lows=np.full(_N_ACT, -1.0, np.float32),
                action_highs=np.full(_N_ACT, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,
-               success=_success, max_episode_steps=150)
+               success=_success, max_episode_steps=150,
+               fused_rollout=_build_fused_rollout(model))
 
 
 from .randomize import register_names as _register_names  # noqa: E402

@@ -206,18 +206,102 @@ def _success(params: PenParams, state: PenState) -> jax.Array:
     return (axis @ state.desired > 0.90) & close
 
 
+def _build_fused_rollout(model: rb.ChainModel):
+    """Fused Pallas rollout for pen-v0 (ops/pallas_forest.py): the whole
+    N-particle H-step contact rollout — five 4-DOF digit trees, the free
+    quaternion pen, the 14-pair contact assembly of `_ext_forces`, and
+    the pen cost — in ONE kernel. The XLA path materializes every
+    per-particle FK/contact intermediate in HBM (and at 21 bodies the
+    episode-scale program overwhelms the remote TPU worker); the kernel
+    keeps all of it in registers/VMEM. kp/kd/mu ride the extras vector,
+    so contact-gain sweeps don't invalidate the kernel; model constants
+    are baked (dyn-randomized planning takes the general path —
+    solvers/base.py build_solve_fn)."""
+    from ..ops import pallas_forest as pf
+
+    n_tips = 2 * adroit.N_DIGITS
+    points = [(int(b), np.asarray(p, np.float32))
+              for (b, _, _), p in zip(
+                  [d for d in _DIGITS for _ in range(2)],
+                  _C_POINTS[:n_tips])]
+    points += [(_PEN_BODY, np.array([-_PEN_HL, 0, 0], np.float32)),
+               (_PEN_BODY, np.array([_PEN_HL, 0, 0], np.float32))]
+
+    ridge_a = [np.float32(v) for v in _RIDGE_A]
+    ridge_b = [np.float32(v) for v in _RIDGE_B]
+
+    def force_fn(states, extras, rots, poss):
+        kp, kd, mu = extras[3], extras[4], extras[5]
+        (cap_a, vcap_a), (cap_b, vcap_b) = states[n_tips], states[n_tips + 1]
+        f_cap_a = pf.sphere_plane_force(cap_a, vcap_a, _PEN_R, kp, kd, mu)
+        f_cap_b = pf.sphere_plane_force(cap_b, vcap_b, _PEN_R, kp, kd, mu)
+        f_ridge, sr = pf.capsule_capsule_force(
+            cap_a, cap_b, vcap_a, vcap_b, _PEN_R,
+            ridge_a, ridge_b, _RIDGE_R, kp, kd, mu)
+        f_cap_a = pf._vadd(f_cap_a, pf._vscale(1.0 - sr, f_ridge))
+        f_cap_b = pf._vadd(f_cap_b, pf._vscale(sr, f_ridge))
+        forces = []
+        for k in range(n_tips):
+            p, v = states[k]
+            f_pen, t = pf.sphere_segment_force(
+                p, v, float(_C_RADII[k]), cap_a, cap_b, vcap_a, vcap_b,
+                _PEN_R, kp, kd, mu)
+            f_cap_a = pf._vsub(f_cap_a, pf._vscale(1.0 - t, f_pen))
+            f_cap_b = pf._vsub(f_cap_b, pf._vscale(t, f_pen))
+            forces.append(pf._vadd(f_pen, pf.sphere_plane_force(
+                p, v, float(_C_RADII[k]), kp, kd, mu)))
+        forces += [f_cap_a, f_cap_b]
+        return forces
+
+    force_fn.points = points
+    desired_pos = [np.float32(v) for v in _DESIRED_POS]
+
+    def cost_fn(q, qd, rots, poss, extras):
+        desired = extras[:3]
+        r = rots[_PEN_BODY]
+        axis = [r[0], r[3], r[6]]
+        diff = pf._vsub(poss[_PEN_BODY], desired_pos)
+        pos_err = pf._vnorm(diff)
+        orien = pf._vdot(axis, desired)
+        close = pos_err < np.float32(0.075)
+        pp = poss[_PEN_BODY]
+        dropped = jnp.sqrt(pp[0] * pp[0] + pp[1] * pp[1]) > np.float32(0.15)
+        reward = (-pos_err + orien
+                  + jnp.where(close & (orien > 0.90), np.float32(10.0), 0.0)
+                  + jnp.where(close & (orien > 0.95), np.float32(50.0), 0.0)
+                  - jnp.where(dropped, np.float32(5.0), 0.0))
+        return -reward
+
+    roll = pf.build_forest_rollout(
+        model, n_substeps=_FRAME_SKIP,
+        act_bodies=list(range(adroit.N_HAND_DOF)),
+        force_fn=force_fn, cost_fn=cost_fn, n_extras=6)
+
+    def fused(params: PenParams, state: PenState, mean, noise):
+        extras = jnp.concatenate([
+            state.desired,
+            jnp.stack([params.kp, params.kd, params.mu])])
+        return roll(state.qpos, state.qvel, extras, mean, noise)
+
+    fused.cpu_auto = False   # XLA-CPU codegen of this kernel
+    # takes >10 min (see solvers/base.py auto gate); TPU/Mosaic is fine
+    return fused
+
+
 def make() -> Env:
     # kp/kd sized for the light distal links at dt=0.002: the explicit
     # contact damper must keep kd·dt/m_eff « 2 (kd=12 diverges; kd=2 is
     # stable with bounded chatter — see tests/test_hand_suite.py).
-    params = PenParams(model=build_model(), kp=jnp.float32(800.0),
+    model = build_model()
+    params = PenParams(model=model, kp=jnp.float32(800.0),
                        kd=jnp.float32(2.0), mu=jnp.float32(1.2))
     n = adroit.N_HAND_DOF
     return Env(name="pen-v0", d_obs=61, d_action=n,
                action_lows=np.full(n, -1.0, np.float32),
                action_highs=np.full(n, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,
-               success=_success, max_episode_steps=75)
+               success=_success, max_episode_steps=75,
+               fused_rollout=_build_fused_rollout(model))
 
 
 from .randomize import register_names as _register_names  # noqa: E402

@@ -5,8 +5,8 @@ arm+hand picks a ball off a table and moves it to a sampled aerial
 target; success when the ball is within 0.10 m of the target
 (README.md:33-35, examples/configs/hand/relocate-v0.yml "Relocate object
 from one position to another with a 24-DOF Shadow Hand"). Here the arm
-is 3 translation DOF carrying the 12-DOF four-digit hand
-(`envs/adroit.py`) — 15 actuated DOF — and the ball is a genuine FREE
+is 3 translation DOF carrying the 20-DOF five-digit hand
+(`envs/adroit.py`) — 23 actuated DOF — and the ball is a genuine FREE
 body (quaternion state) manipulated only through frictional
 fingertip/table contact: grasping is contact physics, not the round-1
 proximity spring.
@@ -49,8 +49,8 @@ class RelocateParams(NamedTuple):
 
 
 class RelocateState(NamedTuple):
-    qpos: jax.Array     # [22] = 3 slides + 12 hinges + ball (pos3, quat4)
-    qvel: jax.Array     # [21]
+    qpos: jax.Array     # [30] = 3 slides + 20 hinges + ball (pos3, quat4)
+    qvel: jax.Array     # [29]
     target: jax.Array   # [3] carry goal
     timestep: jax.Array
 
@@ -177,14 +177,94 @@ def _success(params: RelocateParams, state: RelocateState) -> jax.Array:
     return jnp.linalg.norm(ball - state.target) < 0.10
 
 
+def _build_fused_rollout(model: rb.ChainModel):
+    """Fused Pallas rollout for relocate-v0 (ops/pallas_forest.py): the
+    N-particle H-step contact rollout — arm slides + five digit trees,
+    the free ball, the finger/palm/table contact assembly of
+    `_ext_forces` (incl. the arm gravity compensation via
+    joint_torque_fn), and the relocate cost — in ONE kernel. kp/kd/mu
+    and the carry target ride the extras vector; model constants are
+    baked (dynamics randomization takes the general path)."""
+    from ..ops import pallas_forest as pf
+
+    points = [(int(b), np.asarray(p, np.float32))
+              for (b, _, _), p in zip(
+                  [d for d in _DIGITS for _ in range(2)],
+                  _C_POINTS[:_N_TIPS])]
+    points += [(_BALL_BODY, np.zeros(3, np.float32)),
+               (2, _PALM_LOCAL)]
+    hand_weight = float(9.81 * np.sum(np.asarray(model.mass)[:_BALL_BODY]))
+
+    def force_fn(states, extras, rots, poss):
+        kp, kd, mu = extras[3], extras[4], extras[5]
+        (ball_p, ball_v) = states[_N_TIPS]
+        (palm_p, palm_v) = states[_N_TIPS + 1]
+        f_ball = pf.sphere_plane_force(ball_p, ball_v, _BALL_R, kp, kd, mu)
+        forces = []
+        for k in range(_N_TIPS):
+            p, v = states[k]
+            f_fb = pf.sphere_sphere_force(p, v, float(_C_RADII[k]),
+                                          ball_p, ball_v, _BALL_R,
+                                          kp, kd, mu)
+            f_ball = pf._vsub(f_ball, f_fb)
+            forces.append(pf._vadd(f_fb, pf.sphere_plane_force(
+                p, v, float(_C_RADII[k]), kp, kd, mu)))
+        f_palm = pf.sphere_sphere_force(palm_p, palm_v, _PALM_R,
+                                        ball_p, ball_v, _BALL_R,
+                                        kp, kd, mu)
+        f_ball = pf._vsub(f_ball, f_palm)
+        f_palm = pf._vadd(f_palm, pf.sphere_plane_force(
+            palm_p, palm_v, _PALM_R, kp, kd, mu))
+        forces += [f_ball, f_palm]
+        return forces
+
+    force_fn.points = points
+    palm_local = [np.float32(v) for v in _PALM_LOCAL]
+
+    def torque_fn(q, qd, extras):
+        return {2: np.float32(hand_weight)}
+
+    def cost_fn(q, qd, rots, poss, extras):
+        target = extras[:3]
+        palm = pf._vadd(poss[2], pf._mv(rots[2], palm_local))
+        ball = poss[_BALL_BODY]
+        reach = pf._vnorm(pf._vsub(palm, ball))
+        carry = pf._vnorm(pf._vsub(ball, target))
+        palm_t = pf._vnorm(pf._vsub(palm, target))
+        lifted = ball[2] > np.float32(0.04)
+        reward = (np.float32(-0.1) * reach
+                  + jnp.where(lifted,
+                              np.float32(1.0) - np.float32(0.5) * palm_t
+                              - np.float32(0.5) * carry, np.float32(0.0))
+                  + jnp.where(carry < 0.10, np.float32(10.0), 0.0)
+                  + jnp.where(carry < 0.05, np.float32(20.0), 0.0))
+        return -reward
+
+    roll = pf.build_forest_rollout(
+        model, n_substeps=_FRAME_SKIP, act_bodies=list(range(_N_ACT)),
+        force_fn=force_fn, cost_fn=cost_fn, n_extras=6,
+        joint_torque_fn=torque_fn)
+
+    def fused(params: RelocateParams, state: RelocateState, mean, noise):
+        extras = jnp.concatenate([
+            state.target, jnp.stack([params.kp, params.kd, params.mu])])
+        return roll(state.qpos, state.qvel, extras, mean, noise)
+
+    fused.cpu_auto = False   # XLA-CPU codegen of this kernel
+    # takes >10 min (see solvers/base.py auto gate); TPU/Mosaic is fine
+    return fused
+
+
 def make() -> Env:
-    params = RelocateParams(model=build_model(), kp=jnp.float32(800.0),
+    model = build_model()
+    params = RelocateParams(model=model, kp=jnp.float32(800.0),
                             kd=jnp.float32(2.0), mu=jnp.float32(1.2))
     return Env(name="relocate-v0", d_obs=61, d_action=_N_ACT,
                action_lows=np.full(_N_ACT, -1.0, np.float32),
                action_highs=np.full(_N_ACT, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,
-               success=_success, max_episode_steps=200)
+               success=_success, max_episode_steps=200,
+               fused_rollout=_build_fused_rollout(model))
 
 
 from .randomize import register_names as _register_names  # noqa: E402

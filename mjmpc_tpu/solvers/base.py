@@ -191,7 +191,14 @@ def build_solve_fn(solver: GaussianMPC, env: Env, calc_val: bool = False,
     if fused == "auto":
         fused = (env.fused_rollout is not None
                  and not solver.uses_observations
-                 and shard_particles is None)
+                 and shard_particles is None
+                 # kernels marked cpu_auto=False (the hand-suite forest
+                 # kernels) only auto-engage on real TPU: their
+                 # interpret-mode XLA-CPU codegen takes >10 min per
+                 # (H, N) shape, so CPU runs keep the general path
+                 # unless the caller passes fused=True explicitly
+                 and (getattr(env.fused_rollout, "cpu_auto", True)
+                      or jax.default_backend() == "tpu"))
 
     def do_rollout(env_params, env_state, mean, noise):
         if fused:

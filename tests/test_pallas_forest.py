@@ -1,0 +1,141 @@
+"""Fused Pallas forest-rollout kernel vs the XLA engine on pen-v0
+(ops/pallas_forest.py — the hand-suite contact rollout in one kernel;
+runs in interpreter mode on the CPU mesh).
+
+The kernel re-implements the whole stack — forest FK, block-diagonal
+mass/RNEA, free-body Euler equations, the 14-pair contact assembly, and
+the pen cost — so a single end-to-end costs comparison against
+engine.chain.step + envs/pen.py exercises every piece at once.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mjmpc_tpu import envs, solvers
+from mjmpc_tpu.envs.pen import PenState, _sample_desired
+from mjmpc_tpu.rollout.engine import rollout_open_loop
+
+# The relocate/hammer/door kernels hit an XLA-CPU codegen pathology in
+# interpreter mode: HLO passes finish in ~1 min but LLVM emission of the
+# fused while-loop bodies (deep 23-DOF-tree Cholesky chains) takes >10
+# min PER KERNEL — measured 13m11s for relocate with passes totalling
+# 65 s. The physics is identical to pen's (same builder), so CI keeps
+# pen's fast parity and these three run gated (set MJMPC_SLOW_TESTS=1)
+# or on real TPU via the verify recipe, where Mosaic compiles them.
+slow = pytest.mark.skipif(
+    not os.environ.get("MJMPC_SLOW_TESTS"),
+    reason="XLA-CPU codegen of this kernel takes >10 min; "
+           "set MJMPC_SLOW_TESTS=1 (see module comment)")
+
+
+def _setup(n, h, seed=0):
+    env = envs.make("pen-v0")
+    rng = np.random.default_rng(seed)
+    d = env.d_action
+    mean = np.asarray(rng.normal(size=(h, d)) * 0.2, np.float32)
+    noise = np.asarray(rng.normal(size=(n, h, d)) * 0.3, np.float32)
+    state = env.init(env.params, jax.random.PRNGKey(seed))
+    # perturb the hand joints so FK/contact sees a generic pose
+    qpos = state.qpos.at[:d].add(
+        jnp.asarray(rng.uniform(-0.2, 0.2, d), jnp.float32))
+    state = state._replace(qpos=qpos)
+    return env, state, mean, noise
+
+
+def test_kernel_matches_engine():
+    env, state, mean, noise = _setup(16, 4)
+    costs_k = np.asarray(jax.jit(env.fused_rollout)(
+        env.params, state, jnp.asarray(mean), jnp.asarray(noise)))
+    traj = rollout_open_loop(env, env.params, state, jnp.asarray(mean),
+                             jnp.asarray(noise))
+    costs_e = np.asarray(traj.costs)
+    assert np.isfinite(costs_k).all()
+    # contact forces amplify f32 ulps (kp=800 on sub-mm overlaps), so the
+    # tolerance is looser than the smooth-arm kernel's 5e-5; still far
+    # below any cost scale the solvers act on (bonuses are 10/50).
+    np.testing.assert_allclose(costs_k, costs_e, rtol=0, atol=5e-3)
+
+
+def test_kernel_pads_ragged_particle_counts():
+    env, state, mean, noise = _setup(13, 3, seed=1)
+    costs = np.asarray(jax.jit(env.fused_rollout)(
+        env.params, state, jnp.asarray(mean), jnp.asarray(noise)))
+    assert costs.shape == (13, 3)
+    traj = rollout_open_loop(env, env.params, state, jnp.asarray(mean),
+                             jnp.asarray(noise))
+    np.testing.assert_allclose(costs, np.asarray(traj.costs),
+                               rtol=0, atol=5e-3)
+
+
+def test_fused_solve_matches_general_solve():
+    """build_solve_fn's fused fast path == the general path on pen-v0
+    (same counter-based noise stream on both sides)."""
+    env = envs.make("pen-v0")
+    assert env.fused_rollout is not None
+    solver = solvers.MPPI(d_action=env.d_action, horizon=4,
+                          num_particles=16, lam=0.2, init_cov=0.3,
+                          step_size=1.0, gamma=1.0, alpha=1,
+                          base_action="null",
+                          filter_coeffs=(0.25, 0.8, 0.0))
+    s0 = solver.init_state(jax.random.PRNGKey(0))
+    es = env.init(env.params, jax.random.PRNGKey(1))
+    a_f, _, sf = jax.jit(solvers.build_solve_fn(solver, env, fused=True))(
+        env.params, es, s0)
+    a_g, _, sg = jax.jit(solvers.build_solve_fn(solver, env, fused=False))(
+        env.params, es, s0)
+    np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_g),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sf.mean), np.asarray(sg.mean),
+                               rtol=0, atol=1e-4)
+
+
+def _parity(env_name, n=8, h=3, seed=3, atol=5e-3):
+    env = envs.make(env_name)
+    assert env.fused_rollout is not None
+    rng = np.random.default_rng(seed)
+    d = env.d_action
+    mean = jnp.asarray(rng.normal(size=(h, d)) * 0.2, jnp.float32)
+    noise = jnp.asarray(rng.normal(size=(n, h, d)) * 0.3, jnp.float32)
+    state = env.init(env.params, jax.random.PRNGKey(seed))
+    qpos = state.qpos.at[:d].add(
+        jnp.asarray(rng.uniform(-0.15, 0.15, d), jnp.float32))
+    state = state._replace(qpos=qpos)
+    costs_k = np.asarray(jax.jit(env.fused_rollout)(
+        env.params, state, mean, noise))
+    traj = rollout_open_loop(env, env.params, state, mean, noise)
+    assert np.isfinite(costs_k).all()
+    np.testing.assert_allclose(costs_k, np.asarray(traj.costs),
+                               rtol=0, atol=atol)
+
+
+@slow
+def test_relocate_kernel_matches_engine():
+    """Ball free body + arm gravity compensation (joint_torque_fn)."""
+    _parity("relocate-v0")
+
+
+@slow
+def test_hammer_kernel_matches_engine():
+    """Offset-com free body (6x6 coupled solve) + nail dry friction."""
+    _parity("hammer-v0")
+
+
+@slow
+def test_door_kernel_matches_engine():
+    """All-scalar 2-DOF door tree + latch/strike-plate torque laws."""
+    _parity("door-v0")
+
+
+def test_contact_gains_ride_extras():
+    """kp/kd/mu are traced through the extras vector: changing them must
+    change the kernel's output without retracing a new kernel."""
+    env, state, mean, noise = _setup(8, 2, seed=2)
+    fr = jax.jit(env.fused_rollout)
+    c_hi = np.asarray(fr(env.params, state, mean, noise))
+    soft = env.params._replace(kp=jnp.float32(200.0))
+    c_lo = np.asarray(fr(soft, state, mean, noise))
+    assert np.isfinite(c_lo).all()
+    assert np.abs(c_hi - c_lo).max() > 1e-6

@@ -23,16 +23,38 @@ import numpy as np
 from .. import envs, ops, solvers
 
 
+def _finite_read(out) -> float:
+    """Read (device->host) a scalar that data-depends on `out` and check
+    it is finite. On this remote-TPU runtime `block_until_ready` reports
+    a FAULTED program complete immediately and an unread loop can time
+    host ENQUEUE rate — only a value READ proves device execution
+    (RESULTS.md round-3 measurement correction)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    val = float(jnp.sum(jnp.asarray(leaf, jnp.float32)))
+    if not np.isfinite(val):
+        raise RuntimeError(f"non-finite benchmark output: {val}")
+    return val
+
+
 def _time(fn, *args, iters: int = 50, warmup: int = 2) -> float:
-    """Median-free steady-state seconds/call (chained, one final block)."""
+    """Steady-state seconds/call. Each iteration's first output leaf is
+    accumulated and the window ends by READING the accumulator, so the
+    measured span data-depends on every timed call (the small on-device
+    add per call is included in the rate — conservative)."""
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _finite_read(out)
+    acc = None
     start = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / iters
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        acc = leaf if acc is None else acc + leaf
+    val = float(jnp.sum(jnp.asarray(acc, jnp.float32)))
+    dt = (time.perf_counter() - start) / iters
+    if not np.isfinite(val):
+        raise RuntimeError(f"non-finite benchmark output: {val}")
+    return dt
 
 
 def bench_solver(env_name: str, controller: str, horizon: int,
@@ -57,15 +79,17 @@ def bench_solver(env_name: str, controller: str, horizon: int,
     sstate = solver.init_state(jax.random.PRNGKey(0))
     estate = env.init(env.params, jax.random.PRNGKey(1))
 
-    # chained-state timing: the production control loop
+    # chained-state timing: the production control loop. The final
+    # action data-depends on every solve through the chained solver
+    # state, so ONE read at the end verifies the whole window.
     for _ in range(2):
         a, _, sstate = solve(env.params, estate, sstate)
-    jax.block_until_ready(a)
+    _finite_read(a)
     start = time.perf_counter()
     s = sstate
     for _ in range(iters):
         a, _, s = solve(env.params, estate, s)
-    jax.block_until_ready(a)
+    _finite_read(a)
     dt = (time.perf_counter() - start) / iters
 
     return dict(metric=f"{controller}_solves_per_s"
@@ -135,13 +159,13 @@ def bench_latency(env_name: str = "reacher_7dof-v0", horizon: int = 32,
     s = solver.init_state(jax.random.PRNGKey(0))
     est = env.init(env.params, jax.random.PRNGKey(1))
     out = solve(env.params, est, s)
-    jax.block_until_ready(out)
+    _finite_read(out)
     lats = []
     for _ in range(iters):
         start = time.perf_counter()
         out = solve(env.params, est, s)
-        jax.block_until_ready(out)
-        lats.append(time.perf_counter() - start)
+        _finite_read(out)   # device->host action readback IS part of
+        lats.append(time.perf_counter() - start)   # real control latency
     med = float(np.median(lats))
     return dict(metric=f"mppi_solve_latency_ms"
                        f"[{env_name},H={horizon},N={num_particles}]",
@@ -166,11 +190,11 @@ def bench_sharded(horizon: int = 32, particles_per_device: int = 4096,
     s = solver.init_state(jax.random.PRNGKey(0))
     est = env.init(env.params, jax.random.PRNGKey(1))
     a, _, s = solve(env.params, est, s)
-    jax.block_until_ready(a)
+    _finite_read(a)
     start = time.perf_counter()
     for _ in range(iters):
         a, _, s = solve(env.params, est, s)
-    jax.block_until_ready(a)
+    _finite_read(a)
     dt = (time.perf_counter() - start) / iters
     return dict(metric=f"sharded_mppi_solves_per_s"
                        f"[{env.name},H={horizon},N={n},devices={n_dev}]",

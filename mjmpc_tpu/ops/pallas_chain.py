@@ -286,12 +286,14 @@ def _chol_solve(mc, m_out, rhs):
     return [x[i] for i in range(n)]
 
 
-def _substep(mc, q, qd, u):
+def _substep(mc, q, qd, u, fk=None):
     """One semi-implicit Euler substep for the lane panel — the
-    engine.chain.step body with everything resident in registers."""
+    engine.chain.step body with everything resident in registers.
+    `fk` lets the caller pass a precomputed _fk(mc, q) (the cost of the
+    previous control step evaluates FK at exactly this q)."""
     n = mc["n"]
     dt = np.float32(mc["dt"])
-    rots, poss, axes, origins = _fk(mc, q)
+    rots, poss, axes, origins = fk if fk is not None else _fk(mc, q)
     m_out, bias = _mass_and_bias(mc, rots, poss, axes, origins, qd)
     rhs = []
     for i in range(n):
@@ -313,10 +315,10 @@ def _substep(mc, q, qd, u):
     return q_new, qd_new
 
 
-def _site_cost(mc, q, target):
+def _site_cost(mc, q, target, fk=None):
     """Reacher family cost: l1 + 5*l2 of (site - target)
     (reacher_env.py:29-39 negated reward)."""
-    rots, poss, _, _ = _fk(mc, q)
+    rots, poss, _, _ = fk if fk is not None else _fk(mc, q)
     sb = mc["site_body"]
     site = _vadd(poss[sb], _mv(rots[sb], _const_vec(mc["site_pos"])))
     diff = _vsub(site, target)
@@ -340,17 +342,27 @@ def _chain_kernel(state_ref, target_ref, mean_ref, noise_ref, costs_ref,
 
     def body(t, carry):
         q, qd = carry
+        # The state entering step t IS the post-step state of t-1, so
+        # one FK serves both the previous step's cost and this step's
+        # first substep — horizon-1 cost FKs saved vs the naive
+        # per-step recompute (RESULTS.md roofline headroom item).
+        fk = _fk(mc, list(q))
+
+        @pl.when(t > 0)
+        def _write_prev_cost():
+            costs_ref[t - 1, 0] = _site_cost(mc, list(q), target, fk=fk)
+
         u = []
         for j in range(n):
             uj = mean_ref[t, j] + noise_ref[t, j]
             u.append(jnp.clip(uj, np.float32(ulow), np.float32(uhigh)))
-        for _ in range(n_substeps):
+        q, qd = _substep(mc, list(q), list(qd), u, fk=fk)
+        for _ in range(n_substeps - 1):
             q, qd = _substep(mc, list(q), list(qd), u)
-        cost = _site_cost(mc, q, target)
-        costs_ref[t, 0] = cost
         return (tuple(q), tuple(qd))
 
-    jax.lax.fori_loop(0, horizon, body, (q, qd))
+    q, qd = jax.lax.fori_loop(0, horizon, body, (q, qd))
+    costs_ref[horizon - 1, 0] = _site_cost(mc, list(q), target)
 
 
 def _model_consts(model) -> dict:

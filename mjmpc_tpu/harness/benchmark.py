@@ -201,6 +201,46 @@ def bench_sharded(horizon: int = 32, particles_per_device: int = 4096,
                 value=round(1.0 / dt, 2), unit="solves/s")
 
 
+def bench_aggregate(env_name: str = "reacher_7dof-v0", horizon: int = 32,
+                    num_particles: int = 4096, batches=(1, 2, 4, 8),
+                    iters: int = 10) -> List[Dict[str, Any]]:
+    """Aggregate throughput: B independent MPC solves batched into ONE
+    dispatch (vmap over env/solver states; on the fused kernel path the
+    batch lifts into the pallas grid). The single-chip utilization probe
+    (VERDICT r2 item 3): if B doubles aggregate solves/s, the
+    single-stream headline is dispatch/occupancy-bound, not
+    compute-bound."""
+    if env_name not in envs.available():
+        env_name = "SimplePendulum-v0"
+    env = envs.make(env_name)
+    solver = solvers.MPPI(
+        d_action=env.d_action, horizon=horizon, num_particles=num_particles,
+        lam=0.01, init_cov=3.0, step_size=0.55, gamma=1.0,
+        filter_coeffs=(0.25, 0.8, 0.0), base_action="repeat")
+    solve = solvers.build_solve_fn(solver, env)
+    vsolve = jax.jit(jax.vmap(solve, in_axes=(None, 0, 0)))
+    rows = []
+    for b in batches:
+        est = jax.vmap(env.init, in_axes=(None, 0))(
+            env.params, jax.random.split(jax.random.PRNGKey(1), b))
+        s = jax.vmap(solver.init_state)(
+            jax.random.split(jax.random.PRNGKey(0), b))
+        for _ in range(2):
+            a, _, s = vsolve(env.params, est, s)
+        _finite_read(a)
+        start = time.perf_counter()
+        for _ in range(iters):
+            a, _, s = vsolve(env.params, est, s)
+        _finite_read(a)   # chained solver state: one read covers all
+        dt = (time.perf_counter() - start) / iters
+        rows.append(dict(
+            metric=f"aggregate_mppi_solves_per_s"
+                   f"[{env_name},H={horizon},N={num_particles},B={b}]",
+            value=round(b / dt, 2), unit="solves/s",
+            ms_per_dispatch=round(dt * 1e3, 3)))
+    return rows
+
+
 def cost_dict(compiled) -> dict:
     """Normalize compiled.cost_analysis() across jax versions (dict,
     [dict], or None)."""
@@ -341,6 +381,10 @@ def main(argv=None):
     print(json.dumps(rows[-1]))
     rows.append(bench_roofline(iters=iters))
     print(json.dumps(rows[-1]))
+    for row in bench_aggregate(batches=(1, 2) if args.quick
+                               else (1, 2, 4, 8), iters=iters // 5 or 2):
+        rows.append(row)
+        print(json.dumps(row))
     if len(jax.devices()) > 1:
         rows.append(bench_sharded())
         print(json.dumps(rows[-1]))

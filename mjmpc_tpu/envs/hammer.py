@@ -268,7 +268,7 @@ def _build_fused_rollout(model: rb.ChainModel):
     palm_local = [np.float32(v) for v in _PALM_LOCAL]
     head_local = [np.float32(v) for v in _HEAD_LOCAL]
 
-    def torque_fn(q, qd, extras):
+    def torque_fn(q, qd, extras, fk):
         return {2: np.float32(hand_weight),
                 _NAIL_BODY: np.float32(-_NAIL_RESIST)
                 * jnp.tanh(qd[_NAIL_BODY] / np.float32(0.02))}

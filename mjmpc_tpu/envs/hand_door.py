@@ -249,7 +249,7 @@ def _build_fused_rollout(model: rb.ChainModel):
     palm_local = [np.float32(v) for v in _PALM_LOCAL]
     mid_local = [np.float32(v) for v in 0.5 * (_HANDLE_A + _HANDLE_B)]
 
-    def torque_fn(q, qd, extras):
+    def torque_fn(q, qd, extras, fk):
         gate = (jax.nn.sigmoid((np.float32(_LATCH_THRESH)
                                 - q[_LATCH_BODY]) / np.float32(0.05))
                 * jax.nn.sigmoid((np.float32(0.12)

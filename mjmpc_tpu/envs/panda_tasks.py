@@ -134,15 +134,89 @@ def _success(params, state):
         & (_glass_offset(state) < _TRAY_R)
 
 
+def _build_tray_fused(model: rb.ChainModel):
+    """Fused Pallas rollout for the tray-glass family
+    (ops/pallas_forest.py): one 9-DOF tree (arm + wrist-parented glass
+    slides), the arm gravity feedforward of `_gravity_compensation`
+    (computed in lane dialect from the kernel's own FK: comp[d] =
+    -sum_i m_i g . J_com(d,i), the gradient of V(q) = -sum m_i g.c_i
+    restricted to arm DOFs), and the reach+slide+fall cost in ONE
+    kernel. target / fall_penalty ride extras; model constants (incl.
+    the v1 damping and fixed-v1 range clamps) are baked per variant."""
+    from ..ops import pallas_forest as pf
+
+    mass = np.asarray(model.mass, np.float32)
+    com = np.asarray(model.com, np.float32)
+    grav = np.asarray(model.gravity, np.float32)
+    parent = [int(p) for p in model.parent]
+    types = list(model.joint_types)
+    site_local = [np.float32(v) for v in np.asarray(model.site_pos)]
+    n = len(types)
+
+    def _ancestors(i):
+        out = []
+        k = i
+        while k >= 0:
+            out.append(k)
+            k = parent[k]
+        return out
+
+    def torque_fn(q, qd, extras, fk):
+        rots, poss, axes, origins = fk
+        comp = {}
+        for i in range(n):
+            ci = pf._vadd(poss[i],
+                          pf._mv(rots[i], pf._const_vec(com[i])))
+            m = np.float32(mass[i])
+            for d in _ancestors(i):
+                if d >= _N_ARM:
+                    continue
+                if types[d] == "hinge":
+                    jv = pf._vcross(axes[d], pf._vsub(ci, origins[d]))
+                else:
+                    jv = axes[d]
+                gdot = (np.float32(grav[0]) * jv[0]
+                        + np.float32(grav[1]) * jv[1]
+                        + np.float32(grav[2]) * jv[2])
+                term = -m * gdot
+                comp[d] = term if d not in comp else comp[d] + term
+        return comp
+
+    def cost_fn(q, qd, rots, poss, extras):
+        target = extras[0:3]
+        fall = extras[3]
+        tray = pf._vadd(poss[6], pf._mv(rots[6], site_local))
+        reach = pf._vnorm(pf._vsub(tray, target))
+        slide = jnp.sqrt(q[_N_ARM] * q[_N_ARM]
+                         + q[_N_ARM + 1] * q[_N_ARM + 1])
+        return reach + 2.0 * slide \
+            + jnp.where(slide > np.float32(_TRAY_R), fall,
+                        np.float32(0.0))
+
+    roll = pf.build_forest_rollout(
+        model, n_substeps=_FRAME_SKIP, act_bodies=list(range(_N_ARM)),
+        force_fn=None, cost_fn=cost_fn, n_extras=4,
+        joint_torque_fn=torque_fn)
+
+    def fused(params: TrayGlassParams, state: TrayGlassState, mean,
+              noise):
+        extras = jnp.concatenate([state.target,
+                                  params.fall_penalty[None]])
+        return roll(state.qpos, state.qvel, extras, mean, noise)
+
+    return fused
+
+
 def make() -> Env:
-    params = TrayGlassParams(model=build_model(),
-                             fall_penalty=jnp.float32(5.0))
+    model = build_model()
+    params = TrayGlassParams(model=model, fall_penalty=jnp.float32(5.0))
     return Env(name="panda_tray_glass-v0", d_obs=9 + 9 + 3 + 3,
                d_action=7,
                action_lows=np.full(7, -1.0, np.float32),
                action_highs=np.full(7, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,
-               success=_success, max_episode_steps=100)
+               success=_success, max_episode_steps=100,
+               fused_rollout=_build_tray_fused(model))
 
 
 def _init_v1(params: TrayGlassParams, key: jax.Array) -> TrayGlassState:
@@ -167,11 +241,12 @@ def make_v1() -> Env:
     model = build_model()
     # slipperier tray: halve the glass-slide viscous damping (friction)
     damping = model.damping.at[_N_ARM:].mul(0.5)
-    params = TrayGlassParams(model=model._replace(damping=damping),
-                             fall_penalty=jnp.float32(5.0))
+    model = model._replace(damping=damping)
+    params = TrayGlassParams(model=model, fall_penalty=jnp.float32(5.0))
     env = make()
     return dataclasses.replace(env, name="panda_tray_glass-v1", params=params,
-                       init=_init_v1, max_episode_steps=75)
+                       init=_init_v1, max_episode_steps=75,
+                       fused_rollout=_build_tray_fused(model))
 
 
 def make_fixed_v1() -> Env:
@@ -190,7 +265,8 @@ def make_fixed_v1() -> Env:
     params = TrayGlassParams(model=model, fall_penalty=jnp.float32(5.0))
     env = make_v1()
     return dataclasses.replace(env, name="panda_tray_glass_fixed-v1",
-                       params=params)
+                       params=params,
+                       fused_rollout=_build_tray_fused(model))
 
 
 # name tables for dynamics randomization (glass mass/damping by name).

@@ -221,7 +221,7 @@ def _build_fused_rollout(model: rb.ChainModel):
     force_fn.points = points
     palm_local = [np.float32(v) for v in _PALM_LOCAL]
 
-    def torque_fn(q, qd, extras):
+    def torque_fn(q, qd, extras, fk):
         return {2: np.float32(hand_weight)}
 
     def cost_fn(q, qd, rots, poss, extras):

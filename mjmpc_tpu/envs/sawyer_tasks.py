@@ -125,16 +125,64 @@ def _pusher_success(params, state):
     return jnp.linalg.norm(block[:2] - state.target) < 0.05
 
 
+def _build_pusher_fused(model: rb.ChainModel):
+    """Fused Pallas rollout for sawyer_pusher-v0 (ops/pallas_forest.py):
+    the arm tree + the block's 2-slide tree, the hand-block penalty
+    contact of `_pusher_forces`, and the reach+push cost in ONE kernel.
+    k_contact rides the extras vector so gain sweeps keep the kernel;
+    model constants are baked (dyn-randomized planning takes the general
+    XLA path — solvers/base.py build_solve_fn)."""
+    from ..ops import pallas_forest as pf
+
+    points = [(6, np.zeros(3, np.float32)),
+              (_N_ARM + 1, np.zeros(3, np.float32))]
+
+    def force_fn(states, extras, rots, poss):
+        k = extras[2]
+        (hand, vh), (block, vb) = states
+        diff = pf._vsub(block, hand)
+        dist = pf._vnorm(diff) + np.float32(1e-8)
+        overlap = np.float32(_HAND_R + _BLOCK_R) - dist
+        fmag = jnp.where(overlap > 0.0, k * overlap, np.float32(0.0))
+        f = pf._vscale(fmag / dist, diff)
+        return [pf._vscale(np.float32(-1.0), f), f]
+
+    def cost_fn(q, qd, rots, poss, extras):
+        hand, block = poss[6], poss[_N_ARM + 1]
+        reach = pf._vnorm(pf._vsub(hand, block))
+        dx = block[0] - extras[0]
+        dy = block[1] - extras[1]
+        push = jnp.sqrt(dx * dx + dy * dy)
+        return reach + 2.0 * push
+
+    roll = pf.build_forest_rollout(
+        model, n_substeps=_FRAME_SKIP, act_bodies=list(range(_N_ARM)),
+        force_fn=_with_points(force_fn, points), cost_fn=cost_fn,
+        n_extras=3)
+
+    def fused(params: PusherParams, state: PusherState, mean, noise):
+        extras = jnp.concatenate([state.target, params.k_contact[None]])
+        return roll(state.qpos, state.qvel, extras, mean, noise)
+
+    return fused
+
+
+def _with_points(fn, points):
+    fn.points = points
+    return fn
+
+
 def make_pusher() -> Env:
-    params = PusherParams(model=_pusher_model(),
-                          k_contact=jnp.float32(500.0))
+    model = _pusher_model()
+    params = PusherParams(model=model, k_contact=jnp.float32(500.0))
     return Env(name="sawyer_pusher-v0", d_obs=9 + 9 + 3 + 2 + 3,
                d_action=7,
                action_lows=np.full(7, -1.0, np.float32),
                action_highs=np.full(7, 1.0, np.float32),
                params=params, init=_pusher_init, step=_pusher_step,
                observe=_pusher_obs, success=_pusher_success,
-               max_episode_steps=100)
+               max_episode_steps=100,
+               fused_rollout=_build_pusher_fused(model))
 
 
 # ---------------------------------------------------------------------------
@@ -217,8 +265,50 @@ def _door_success(params, state):
     return jnp.abs(params.target_angle - state.qpos[-1]) < 0.1
 
 
+def _build_door_fused(model: rb.ChainModel):
+    """Fused Pallas rollout for sawyer_door-v0: arm tree + door hinge,
+    the proximity-gated grab spring of `_door_forces` (force on the
+    handle point only, matching the env), and the angle+reach cost in
+    ONE kernel. k_grab / grab_radius / target_angle ride extras."""
+    from ..ops import pallas_forest as pf
+
+    handle_local = np.asarray(_HANDLE_LOCAL, np.float32)
+    points = [(6, np.zeros(3, np.float32)), (_N_ARM, handle_local)]
+
+    def force_fn(states, extras, rots, poss):
+        k_grab, grab_r = extras[0], extras[1]
+        (hand, _), (handle, _) = states
+        diff = pf._vsub(hand, handle)
+        dist = pf._vnorm(diff) + np.float32(1e-8)
+        gain = jnp.where(dist < grab_r, k_grab, np.float32(0.0))
+        zero = [jnp.zeros_like(hand[0])] * 3
+        return [zero, pf._vscale(gain, diff)]
+
+    def cost_fn(q, qd, rots, poss, extras):
+        target_angle = extras[2]
+        hand = poss[6]
+        handle = pf._vadd(poss[_N_ARM],
+                          pf._mv(rots[_N_ARM],
+                                 [np.float32(v) for v in handle_local]))
+        reach = pf._vnorm(pf._vsub(hand, handle))
+        return 2.0 * jnp.abs(target_angle - q[_N_ARM]) + 0.5 * reach
+
+    roll = pf.build_forest_rollout(
+        model, n_substeps=_FRAME_SKIP, act_bodies=list(range(_N_ARM)),
+        force_fn=_with_points(force_fn, points), cost_fn=cost_fn,
+        n_extras=3)
+
+    def fused(params: DoorParams, state: DoorState, mean, noise):
+        extras = jnp.stack([params.k_grab, params.grab_radius,
+                            params.target_angle])
+        return roll(state.qpos, state.qvel, extras, mean, noise)
+
+    return fused
+
+
 def make_door() -> Env:
-    params = DoorParams(model=_door_model(), k_grab=jnp.float32(60.0),
+    model = _door_model()
+    params = DoorParams(model=model, k_grab=jnp.float32(60.0),
                         grab_radius=jnp.float32(0.12),
                         target_angle=jnp.float32(1.2))
     return Env(name="sawyer_door-v0", d_obs=8 + 8 + 3 + 1, d_action=7,
@@ -226,7 +316,8 @@ def make_door() -> Env:
                action_highs=np.full(7, 1.0, np.float32),
                params=params, init=_door_init, step=_door_step,
                observe=_door_obs, success=_door_success,
-               max_episode_steps=100)
+               max_episode_steps=100,
+               fused_rollout=_build_door_fused(model))
 
 
 # ---------------------------------------------------------------------------
@@ -296,8 +387,48 @@ def _peg_success(params, state):
     return (depth > 0.8 * params.hole_depth) & (lateral < 0.025)
 
 
+def _build_peg_fused(model: rb.ChainModel):
+    """Fused Pallas rollout for sawyer_peg_insertion: the pure 7-joint
+    arm with the depth-progress insertion cost of `_peg_step` (no
+    contact). All hole parameters (entry, axis, depth, sensor bias) ride
+    extras, so the v1 sensed-target variant shares the kernel."""
+    from ..ops import pallas_forest as pf
+
+    site_local = [np.float32(v) for v in np.asarray(model.site_pos)]
+    sb = int(model.site_body)
+
+    def cost_fn(q, qd, rots, poss, extras):
+        entry = extras[0:3]
+        axis = extras[3:6]
+        hole_depth = extras[6]
+        bias = extras[7:10]
+        tip = pf._vadd(poss[sb], pf._mv(rots[sb], site_local))
+        rel = pf._vsub(tip, pf._vadd(entry, bias))
+        depth = pf._vdot(rel, axis)
+        lateral = pf._vnorm(pf._vsub(rel, pf._vscale(depth, axis)))
+        bottom = pf._vadd(entry, pf._vscale(hole_depth, axis))
+        inserted = jnp.clip(depth, 0.0, hole_depth) \
+            / jnp.maximum(hole_depth, np.float32(1e-6))
+        reward = (-pf._vnorm(pf._vsub(tip, bottom))
+                  - 5.0 * lateral * inserted + 1.0 * inserted)
+        return -reward
+
+    roll = pf.build_forest_rollout(
+        model, n_substeps=_FRAME_SKIP, act_bodies=list(range(_N_ARM)),
+        force_fn=None, cost_fn=cost_fn, n_extras=10)
+
+    def fused(params: PegParams, state: PegState, mean, noise):
+        extras = jnp.concatenate([
+            params.hole_entry, params.hole_axis, params.hole_depth[None],
+            params.sensor_bias])
+        return roll(state.qpos, state.qvel, extras, mean, noise)
+
+    return fused
+
+
 def make_peg_insertion() -> Env:
-    params = PegParams(model=_peg_model(),
+    model = _peg_model()
+    params = PegParams(model=model,
                        hole_entry=jnp.array([0.2, -0.25, -0.1]),
                        hole_axis=jnp.array([0.0, 0.0, -1.0]),
                        hole_depth=jnp.float32(0.08),
@@ -308,7 +439,8 @@ def make_peg_insertion() -> Env:
                action_highs=np.full(7, 1.0, np.float32),
                params=params, init=_peg_init, step=_peg_step,
                observe=_peg_obs, success=_peg_success,
-               max_episode_steps=100)
+               max_episode_steps=100,
+               fused_rollout=_build_peg_fused(model))
 
 
 def make_peg_insertion_v1(sensor_bias=(0.01, -0.012, 0.008)) -> Env:

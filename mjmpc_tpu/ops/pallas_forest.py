@@ -503,9 +503,12 @@ def _substep(mc, q, qd, u, force_fn, extras, joint_torque_fn=None):
                         tau_scal, tau_free)
     if joint_torque_fn is not None:
         # env torques on scalar joints (gravity compensation on arm
-        # slides, nail dry friction, latch springs / strike-plate gating
-        # — the `tau.at[dof].add(...)` tail of every _ext_forces fn)
-        for i, t in joint_torque_fn(q, qd, extras).items():
+        # slides/joints, nail dry friction, latch springs / strike-plate
+        # gating — the `tau.at[dof].add(...)` tail of every _ext_forces
+        # fn). The fk tuple (rots, poss, axes, origins) serves
+        # configuration-dependent laws (panda gravity feedforward).
+        for i, t in joint_torque_fn(q, qd, extras,
+                                    (rots, poss, axes, origins)).items():
             tau_scal[i] = tau_scal[i] + t
 
     q_new, qd_new = {}, {}
@@ -635,10 +638,11 @@ def build_forest_rollout(model, n_substeps: int, act_bodies: Sequence[int],
         post-step state (costs are negated rewards, rollout/engine.py).
     n_extras: number of scalar extras (e.g. the desired axis) packed
         after qpos/qvel in the state vector.
-    joint_torque_fn: optional fn(q, qd, extras) -> {body: lane torque}
-        added to scalar-joint generalized forces each substep — the
-        non-contact tail of the env's ext_force_fn (arm gravity
+    joint_torque_fn: optional fn(q, qd, extras, fk) -> {body: lane
+        torque} added to scalar-joint generalized forces each substep —
+        the non-contact tail of the env's ext_force_fn (arm gravity
         compensation, nail dry friction, door latch/strike-plate laws).
+        fk = (rots, poss, axes, origins) at the current q.
 
     Returns rollout(qpos [nq], qvel [nv], extras [n_extras],
                     mean [H, dA], noise [N, H, dA]) -> costs [N, H].

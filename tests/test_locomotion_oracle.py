@@ -1,0 +1,117 @@
+"""Physics-oracle invariants for the locomotion envs (VERDICT r2 weak
+item 6): swimmer's slender-body fluid drag and half-cheetah's compliant
+ground contact were previously validated only by reward-goes-up driver
+runs. These tests pin the force laws to conservation/dissipation
+budgets computed from the engine's own energy functions — the same
+cross-check style the C++ oracle gives the arm/free-body dynamics.
+
+Reference behavior being matched: mujoco's viscous fluid model only ever
+removes energy (reference envs delegate to mujoco_py; SURVEY §2.4), and
+its ground contact never pulls (unilateral normal force).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjmpc_tpu import envs
+from mjmpc_tpu.engine import chain as rb
+from mjmpc_tpu.envs import swimmer as swim
+from mjmpc_tpu.envs import half_cheetah as chee
+
+
+def _total_energy(model, q, qd):
+    return float(rb.kinetic_energy(model, q, qd)
+                 + rb.potential_energy(model, q))
+
+
+def test_swimmer_drag_is_dissipative_pointwise():
+    """Generalized drag power qd . tau must be <= 0 for ANY state: the
+    force at each sample point is -c(|v|) v componentwise with c >= 0,
+    and J^T mapping preserves the sign of f . v_point."""
+    env = envs.make("Swimmer-v0")
+    fn = jax.jit(swim._ext_forces(env.params))
+    rng = np.random.default_rng(0)
+    n = env.params.model.parent.__len__()
+    nq = env.init(env.params, jax.random.PRNGKey(0)).qpos.shape[0]
+    for i in range(12):
+        q = jnp.asarray(rng.normal(size=nq) * 1.0, jnp.float32)
+        qd = jnp.asarray(rng.normal(size=nq) * (3.0 if i % 2 else 0.3),
+                         jnp.float32)
+        tau = fn(None, q, qd)
+        power = float(qd @ tau)
+        assert power <= 1e-5, (i, power)
+    # and exactly zero force at rest (no spurious thrust)
+    tau0 = np.asarray(fn(None, jnp.asarray(rng.normal(size=nq),
+                                           jnp.float32), jnp.zeros(nq)))
+    np.testing.assert_allclose(tau0, 0.0, atol=1e-7)
+
+
+def test_swimmer_passive_coastdown_loses_energy():
+    """Zero-control coast-down: drag must bleed kinetic energy, and no
+    step may create energy beyond the explicit-integrator epsilon."""
+    env = envs.make("Swimmer-v0")
+    model = env.params.model
+    s = env.init(env.params, jax.random.PRNGKey(0))
+    nq = s.qpos.shape[0]
+    s = s._replace(qvel=jnp.asarray(
+        np.random.default_rng(1).uniform(-1.5, 1.5, nq), jnp.float32))
+    step = jax.jit(env.step)
+    energies = [_total_energy(model, s.qpos, s.qvel)]
+    for _ in range(40):
+        s, *_ = step(env.params, s, jnp.zeros(env.d_action))
+        energies.append(_total_energy(model, s.qpos, s.qvel))
+    e = np.asarray(energies)
+    assert e[-1] < 0.5 * e[0], (e[0], e[-1])
+    # per-step creation bounded by integrator truncation, not drag scale
+    assert (np.diff(e) < 1e-2 * max(e[0], 1.0)).all()
+
+
+def test_cheetah_contact_silent_when_airborne():
+    """Lift the cheetah a body-length above the plane: every contact
+    point has depth < 0 and the generalized contact force must be
+    identically zero (no action at a distance)."""
+    env = envs.make("HalfCheetah-v0")
+    fn = jax.jit(chee._ext_forces(env.params))
+    s = env.init(env.params, jax.random.PRNGKey(0))
+    nq = s.qpos.shape[0]
+    rng = np.random.default_rng(2)
+    for _ in range(6):
+        q = s.qpos + jnp.asarray(rng.uniform(-0.3, 0.3, nq), jnp.float32)
+        q = q.at[1].set(1.5)  # rootz: well clear of the ground
+        qd = jnp.asarray(rng.normal(size=nq), jnp.float32)
+        tau = np.asarray(fn(None, q, qd))
+        np.testing.assert_allclose(tau, 0.0, atol=1e-7)
+
+
+def test_cheetah_drop_dissipates_and_supports():
+    """Drop the passive cheetah from height: (a) total energy never
+    exceeds its initial value and ends well below it (contact damping +
+    friction dissipate the fall; individual impact frames may gain a few
+    percent from explicit-integrator overshoot of the stiff contact
+    spring, but the budget as a whole only drains), and (b) it ends
+    SUPPORTED — resting near-static above the ground rather than sunk
+    through or bouncing forever."""
+    env = envs.make("HalfCheetah-v0")
+    model = env.params.model
+    s = env.init(env.params, jax.random.PRNGKey(0))
+    s = s._replace(qpos=s.qpos.at[1].add(0.4),
+                   qvel=jnp.zeros_like(s.qvel))
+    step = jax.jit(env.step)
+    e0 = _total_energy(model, s.qpos, s.qvel)
+    energies = [e0]
+    for _ in range(120):
+        s, *_ = step(env.params, s, jnp.zeros(6))
+        energies.append(_total_energy(model, s.qpos, s.qvel))
+    e = np.asarray(energies)
+    scale = abs(e[0]) + 1.0
+    assert (e <= e[0] + 1e-2 * scale).all(), e.max() - e[0]
+    assert e[-1] < e[0] - 0.2 * scale, (e[0], e[-1])
+    # supported equilibrium: feet on the plane, body above it, ~static
+    assert -0.6 < float(s.qpos[1]) < 0.3
+    assert float(jnp.abs(s.qvel).max()) < 0.6
+    # and it STAYS put: another 30 passive steps barely move the pose
+    q_settled = np.asarray(s.qpos)
+    for _ in range(30):
+        s, *_ = step(env.params, s, jnp.zeros(6))
+    drift = np.abs(np.asarray(s.qpos) - q_settled).max()
+    assert drift < 0.15, drift

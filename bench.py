@@ -31,7 +31,9 @@ Accountability fields:
 from __future__ import annotations
 
 import json
+import os
 import statistics
+import threading
 import time
 
 import jax
@@ -46,6 +48,10 @@ TARGET_WINDOW_S = 0.5      # solves per window sized from a probe run
 SPREAD_OK_PCT = 10.0
 MAX_ATTEMPTS = 3
 ENGINE_SUBSTEPS = 2        # reacher frame_skip
+STALL_BUDGET_S = 1500      # device init + compile watchdog: the axon
+                           # tunnel has been observed to hang >25 min on
+                           # jax.devices(); emit a diagnosable JSON line
+                           # instead of hanging the driver forever
 
 
 def _quartiles(rates):
@@ -127,5 +133,39 @@ def main():
     }))
 
 
+def _main_with_watchdog():
+    """Run main() under a stall deadline. A hung remote-TPU tunnel blocks
+    inside uninterruptible C++ (device init / remote compile), so the
+    watchdog lives in the MAIN thread and the measurement in a worker;
+    on timeout we print a one-line JSON verdict and hard-exit."""
+    done = threading.Event()
+    err: list = []
+
+    def worker():
+        try:
+            main()
+        except BaseException as e:  # surfaced below as the error field
+            err.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=worker, daemon=True)
+    start = time.perf_counter()
+    t.start()
+    if not done.wait(STALL_BUDGET_S):
+        print(json.dumps({
+            "metric": "mppi_solves_per_s[stalled]",
+            "value": 0.0,
+            "unit": "solves/s",
+            "vs_baseline": 0.0,
+            "error": "device_init_or_compile_stalled",
+            "stalled_after_s": round(time.perf_counter() - start, 1),
+            "read_verified": False,
+        }), flush=True)
+        os._exit(2)
+    if err:
+        raise err[0]
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_watchdog()

@@ -56,6 +56,14 @@ class Env:
     # (build_solve_fn's fused flag — the dynamics-randomization path).
     fused_rollout: Optional[Callable[[Any, Any, jax.Array, jax.Array],
                                      jax.Array]] = None
+    # Optional fused CLOSED-LOOP-LINEAR rollout: (params, state,
+    # weights [d_obs + 1, dA], noise [N, H, dA]) ->
+    # (obs [N, H, d_obs], actions [N, H, dA], costs [N, H]),
+    # equivalent to rollout_closed_loop_linear with the policy matmul
+    # and observation computed inside the kernel
+    # (ops/pallas_chain.build_chain_cl_rollout; the Reinforce fast path).
+    fused_cl_rollout: Optional[Callable[[Any, Any, jax.Array, jax.Array],
+                                        Any]] = None
 
     def with_params(self, params) -> "Env":
         """Rebind the dynamics parameters (for randomization sweeps)."""

@@ -166,20 +166,31 @@ def _make(continual_period: int, name: str) -> Env:
     # costs-only kernel does not model). Model constants are baked at
     # build time — build_solve_fn skips the path for dyn-randomized
     # planning params.
-    fused = None
+    fused = fused_cl = None
     if continual_period == 0:
-        from ..ops.pallas_chain import build_chain_rollout
+        from ..ops.pallas_chain import (build_chain_cl_rollout,
+                                        build_chain_rollout)
         _roll = build_chain_rollout(params.model, n_substeps=_FRAME_SKIP)
 
         def fused(p, state, mean, noise):
             return _roll(state.qpos, state.qvel, state.target, mean, noise)
+
+        # closed-loop-linear fast path (Reinforce): the kernel's
+        # in-register obs is exactly _observe's [qpos, qvel, hand, diff]
+        _roll_cl = build_chain_cl_rollout(params.model,
+                                          n_substeps=_FRAME_SKIP)
+
+        def fused_cl(p, state, weights, noise):
+            return _roll_cl(state.qpos, state.qvel, state.target,
+                            weights, noise)
 
     return Env(
         name=name, d_obs=D_OBS, d_action=N_JOINTS,
         action_lows=np.full(N_JOINTS, -1.0, np.float32),
         action_highs=np.full(N_JOINTS, 1.0, np.float32),
         params=params, init=_init, step=_step, observe=_observe,
-        success=_success, max_episode_steps=75, fused_rollout=fused)
+        success=_success, max_episode_steps=75, fused_rollout=fused,
+        fused_cl_rollout=fused_cl)
 
 
 def make() -> Env:

@@ -442,3 +442,135 @@ def build_chain_rollout(model, n_substeps: int, ulow: float = -1.0,
         return jnp.transpose(costs[:, 0, :num_p], (1, 0))
 
     return rollout
+
+
+# ---------------------------------------------------------------------------
+# Closed-loop-linear variant: the policy u = W.T [obs; 1] + eps runs
+# INSIDE the kernel (obs computed in registers from the lane state), so
+# the whole Reinforce/CL-MPC rollout — N particles, H steps, policy
+# matmul, physics, cost, and the obs/action records the policy-gradient
+# update consumes — is one device program. This is the read-verified
+# fast path for the closed-loop blending row (reference
+# clgaussian_mpc.py:63-73 'closed_loop_linear' rollout mode).
+# ---------------------------------------------------------------------------
+
+
+def _reacher_obs(mc, q, qd, target, fk):
+    """Reacher-family observation in lane dialect:
+    [qpos, qvel, hand, hand - target] (envs/reacher_7dof.py:127-130,
+    matching mj_envs sawyer reacher obs layout). d_obs = 2n + 6."""
+    rots, poss, _, _ = fk
+    sb = mc["site_body"]
+    site = _vadd(poss[sb], _mv(rots[sb], _const_vec(mc["site_pos"])))
+    diff = _vsub(site, target)
+    return list(q) + list(qd) + list(site) + list(diff)
+
+
+def _chain_cl_kernel(state_ref, target_ref, w_ref, noise_ref,
+                     costs_ref, obs_ref, acts_ref, *, mc, horizon: int,
+                     n_substeps: int, ulow: float, uhigh: float):
+    n = mc["n"]
+    d_obs = 2 * n + 6
+    width = costs_ref.shape[-1]
+    q = tuple(jnp.broadcast_to(state_ref[0, i], (width,))
+              for i in range(n))
+    qd = tuple(jnp.broadcast_to(state_ref[1, i], (width,))
+               for i in range(n))
+    target = [jnp.broadcast_to(target_ref[0, i], (width,))
+              for i in range(3)]
+
+    def body(t, carry):
+        q, qd = carry
+        # one FK serves the previous step's cost, this step's obs, and
+        # this step's first substep (same reuse as the open-loop kernel)
+        fk = _fk(mc, list(q))
+
+        @pl.when(t > 0)
+        def _write_prev_cost():
+            costs_ref[t - 1, 0] = _site_cost(mc, list(q), target, fk=fk)
+
+        obs = _reacher_obs(mc, q, qd, target, fk)
+        for j in range(d_obs):
+            obs_ref[t, j] = obs[j]
+
+        u = []
+        for i in range(n):
+            acc = w_ref[d_obs, i] + noise_ref[t, i]   # bias row + eps
+            for j in range(d_obs):
+                acc = acc + w_ref[j, i] * obs[j]
+            # recorded actions are the PRE-clip commanded actions
+            # (gym_env_wrapper.py:151 act_vec semantics); the env clips
+            # internally before integrating
+            acts_ref[t, i] = acc
+            u.append(jnp.clip(acc, np.float32(ulow), np.float32(uhigh)))
+        q, qd = _substep(mc, list(q), list(qd), u, fk=fk)
+        for _ in range(n_substeps - 1):
+            q, qd = _substep(mc, list(q), list(qd), u)
+        return (tuple(q), tuple(qd))
+
+    q, qd = jax.lax.fori_loop(0, horizon, body, (q, qd))
+    costs_ref[horizon - 1, 0] = _site_cost(mc, list(q), target)
+
+
+def build_chain_cl_rollout(model, n_substeps: int, ulow: float = -1.0,
+                           uhigh: float = 1.0, tile_n: int = _TILE_N):
+    """Fused closed-loop-linear rollout builder for a scalar-joint
+    ChainModel with the reacher-family obs/cost.
+
+    Returns rollout(q0 [nv], qd0 [nv], target [3],
+    weights [d_obs + 1, nv], noise [N, H, nv]) ->
+    (obs [N, H, d_obs], actions [N, H, nv], costs [N, H]) — identical
+    semantics to rollout_closed_loop_linear over the reacher envs
+    (u[b, t] = W.T [obs_b(t); 1] + noise[b, t], obs at the pre-step
+    state, cost/action records as the engine produces them)."""
+    mc = _model_consts(model)
+    n = mc["n"]
+    d_obs = 2 * n + 6
+
+    def rollout(q0, qd0, target, weights, noise):
+        num_p, horizon = noise.shape[0], noise.shape[1]
+        n_pad = _round_up(max(num_p, 8), tile_n)
+        noise_t = jnp.zeros((horizon, n, n_pad), jnp.float32)
+        noise_t = noise_t.at[:, :, :num_p].set(
+            jnp.transpose(noise, (1, 2, 0)))
+        state = jnp.stack([jnp.asarray(q0, jnp.float32),
+                           jnp.asarray(qd0, jnp.float32)])      # [2, nv]
+        kernel = functools.partial(
+            _chain_cl_kernel, mc=mc, horizon=horizon,
+            n_substeps=n_substeps, ulow=ulow, uhigh=uhigh)
+        costs, obs, acts = pl.pallas_call(
+            kernel,
+            grid=(n_pad // tile_n,),
+            in_specs=[
+                pl.BlockSpec((2, n), lambda j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 3), lambda j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((d_obs + 1, n), lambda j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((horizon, n, tile_n), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((horizon, 1, tile_n), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((horizon, d_obs, tile_n),
+                             lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((horizon, n, tile_n), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((horizon, 1, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((horizon, d_obs, n_pad),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((horizon, n, n_pad), jnp.float32),
+            ],
+            interpret=_interpret(),
+        )(state, jnp.asarray(target, jnp.float32).reshape(1, 3),
+          jnp.asarray(weights, jnp.float32), noise_t)
+        return (jnp.transpose(obs[:, :, :num_p], (2, 0, 1)),
+                jnp.transpose(acts[:, :, :num_p], (2, 0, 1)),
+                jnp.transpose(costs[:, 0, :num_p], (1, 0)))
+
+    return rollout

@@ -43,8 +43,11 @@ def make_solver(name: str, **params):
 
 def make_solve_fn(solver, env, **kwargs):
     """Dispatch to the right solve builder for the solver family."""
-    if not isinstance(solver, GaussianMPC):
-        kwargs.pop("fused", None)   # fused fast path: GaussianMPC family only
+    if not isinstance(solver, (GaussianMPC, Reinforce)):
+        # fused fast paths: GaussianMPC's costs-only open-loop kernel,
+        # Reinforce's closed-loop-linear kernel; other families must not
+        # swallow an explicit fused=False (dyn-randomized planning)
+        kwargs.pop("fused", None)
     if isinstance(solver, PFMPC):
         kwargs.pop("calc_val", None)
         return build_pf_solve_fn(solver, env, **kwargs)

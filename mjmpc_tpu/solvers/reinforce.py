@@ -191,17 +191,40 @@ class Reinforce:
         raise ValueError(f"unknown sample mode {mode!r}")
 
 
-def build_solve_fn(solver: Reinforce, env: Env, shard_particles=None):
+def build_solve_fn(solver: Reinforce, env: Env, shard_particles=None,
+                   fused="auto"):
     """One Reinforce solve: closed-loop rollouts + policy-gradient update.
-    The reference's _shift is a no-op (clgaussian_mpc.py:117-131)."""
+    The reference's _shift is a no-op (clgaussian_mpc.py:117-131).
+
+    fused: use the env's fused closed-loop Pallas rollout
+    (ops/pallas_chain.build_chain_cl_rollout — obs + policy matmul +
+    physics + cost in one kernel). "auto" = yes when the env provides
+    one and the solve is unsharded; the update consumes only the
+    (obs, actions, costs) records the kernel emits. Pass False when
+    planning against params differing from the env's build-time params
+    (the kernel bakes model constants)."""
     shard = shard_particles or (lambda x: x)
+    if fused == "auto":
+        fused = (env.fused_cl_rollout is not None
+                 and shard_particles is None
+                 and (getattr(env.fused_cl_rollout, "cpu_auto", True)
+                      or jax.default_backend() == "tpu"))
+
+    def do_rollout(env_params, env_state, weights, noise):
+        if fused:
+            obs, acts, costs = env.fused_cl_rollout(
+                env_params, env_state, weights, noise)
+            return Trajectories(observations=obs, actions=acts,
+                                costs=costs, dones=None,
+                                next_observations=None, successes=None)
+        return rollout_closed_loop_linear(
+            env, env_params, env_state, weights, noise)
 
     def solve(env_params, env_state, state: ReinforceState):
         s = state
         for _ in range(solver.n_iters):
             noise = shard(solver.sample_noise(s))
-            traj = rollout_closed_loop_linear(
-                env, env_params, env_state, s.mean_weights, noise)
+            traj = do_rollout(env_params, env_state, s.mean_weights, noise)
             s = solver.update(s, traj)
         obs = env.observe(env_params, env_state)
         action = solver.act(s, obs)

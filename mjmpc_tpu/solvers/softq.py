@@ -9,7 +9,13 @@ Reference mjmpc/control/softqmpc/algs/softq_controller.py. Each solve:
 2. soft-Bellman targets: terminal costs replaced by Q(s_H, a_H); targets =
    cost_to_go(costs − λ·entropy) + λ·entropy (softq_controller.py:222-247);
 3. one SGD step on 0.5·MSE with weight decay (the reference's
-   torch.optim.SGD(lr, weight_decay=reg), softq_controller.py:62-64).
+   torch.optim.SGD(lr, weight_decay=reg), softq_controller.py:62-64),
+   clipped by global gradient norm (`grad_clip`). The reference's raw
+   SGD diverges to NaN within 2 solves on arm-scale tasks (cost-to-go
+   targets of O(1e2) through a quartic-in-L loss surface); clipping is
+   a deliberate robustness deviation documented in docs/PARITY.md —
+   the fit matches the reference exactly while the gradient norm is
+   under the clip.
 
 The action-noise covariance Σ = λ Paa⁻¹ depends only on the Q parameters
 (not the state), so per-step sampling factorizes into white noise [N,H,dA]
@@ -48,6 +54,8 @@ class SoftQMPC:
     lam: float = 0.1
     lr: float = 0.01
     reg: float = 0.0
+    grad_clip: float = 10.0   # global-norm clip on the Q-fit gradient
+                              # (0 disables; see module docstring)
     gamma: float = 1.0
     n_iters: int = 1
     n_grad_steps: int = 1
@@ -100,6 +108,12 @@ class SoftQMPC:
 
         def one_sgd(p, _):
             g = jax.grad(model.loss)(p, obs_in, act_in, tgt_in, self.reg)
+            if self.grad_clip:
+                gnorm = jnp.sqrt(sum(jnp.sum(gw ** 2)
+                                     for gw in jax.tree_util.tree_leaves(g)))
+                scale = jnp.minimum(1.0, self.grad_clip
+                                    / jnp.maximum(gnorm, 1e-12))
+                g = jax.tree_util.tree_map(lambda gw: gw * scale, g)
             p = jax.tree_util.tree_map(lambda w, gw: w - self.lr * gw, p, g)
             return p, None
 

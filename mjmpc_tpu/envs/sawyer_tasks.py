@@ -426,6 +426,60 @@ def _build_peg_fused(model: rb.ChainModel):
     return fused
 
 
+def _build_peg_fused_cl(model: rb.ChainModel):
+    """Fused CLOSED-LOOP-linear Pallas rollout for the peg family
+    (ops/pallas_chain.build_chain_cl_rollout with peg obs/cost): the
+    policy matmul over [qpos, qvel, tip - entry, depth, lateral]
+    (_peg_obs) and the depth-progress insertion cost run in-kernel.
+    Serves the reference-schema peg CL config
+    (configs/sawyer/sawyer_peg_insertion-v0_cl.yml, reinforce block)."""
+    from ..ops import pallas_chain as pc
+
+    site_local = [np.float32(v) for v in np.asarray(model.site_pos)]
+    sb = int(model.site_body)
+
+    def _sensed(tip, extras):
+        entry, axis = extras[0:3], extras[3:6]
+        bias = extras[7:10]
+        rel = pc._vsub(tip, pc._vadd(entry, bias))
+        depth = pc._vdot(rel, axis)
+        off = pc._vsub(rel, pc._vscale(depth, axis))
+        lateral = jnp.sqrt(pc._vdot(off, off) + np.float32(1e-12))
+        return depth, lateral
+
+    def obs_fn(mc, q, qd, extras, fk):
+        rots, poss, _, _ = fk
+        tip = pc._vadd(poss[sb], pc._mv(rots[sb], site_local))
+        depth, lateral = _sensed(tip, extras)
+        rel0 = pc._vsub(tip, extras[0:3])    # obs uses the UNbiased entry
+        return list(q) + list(qd) + list(rel0) + [depth, lateral]
+
+    def cost_fn(mc, q, qd, extras, fk):
+        rots, poss, _, _ = fk
+        tip = pc._vadd(poss[sb], pc._mv(rots[sb], site_local))
+        depth, lateral = _sensed(tip, extras)
+        entry, axis, hole_depth = extras[0:3], extras[3:6], extras[6]
+        bottom = pc._vadd(entry, pc._vscale(hole_depth, axis))
+        d = pc._vsub(tip, bottom)
+        inserted = jnp.clip(depth, 0.0, hole_depth) \
+            / jnp.maximum(hole_depth, np.float32(1e-6))
+        reward = (-jnp.sqrt(pc._vdot(d, d) + np.float32(1e-12))
+                  - 5.0 * lateral * inserted + 1.0 * inserted)
+        return -reward
+
+    roll = pc.build_chain_cl_rollout(
+        model, n_substeps=_FRAME_SKIP, obs_fn=obs_fn, cost_fn=cost_fn,
+        d_obs=2 * _N_ARM + 5, n_extras=10)
+
+    def fused_cl(params: PegParams, state: PegState, weights, noise):
+        extras = jnp.concatenate([
+            params.hole_entry, params.hole_axis, params.hole_depth[None],
+            params.sensor_bias])
+        return roll(state.qpos, state.qvel, extras, weights, noise)
+
+    return fused_cl
+
+
 def make_peg_insertion() -> Env:
     model = _peg_model()
     params = PegParams(model=model,
@@ -440,7 +494,8 @@ def make_peg_insertion() -> Env:
                params=params, init=_peg_init, step=_peg_step,
                observe=_peg_obs, success=_peg_success,
                max_episode_steps=100,
-               fused_rollout=_build_peg_fused(model))
+               fused_rollout=_build_peg_fused(model),
+               fused_cl_rollout=_build_peg_fused_cl(model))
 
 
 def make_peg_insertion_v1(sensor_bias=(0.01, -0.012, 0.008)) -> Env:

@@ -455,29 +455,30 @@ def build_chain_rollout(model, n_substeps: int, ulow: float = -1.0,
 # ---------------------------------------------------------------------------
 
 
-def _reacher_obs(mc, q, qd, target, fk):
+def _reacher_obs(mc, q, qd, extras, fk):
     """Reacher-family observation in lane dialect:
     [qpos, qvel, hand, hand - target] (envs/reacher_7dof.py:127-130,
-    matching mj_envs sawyer reacher obs layout). d_obs = 2n + 6."""
+    matching mj_envs sawyer reacher obs layout). d_obs = 2n + 6;
+    extras = target [3]."""
     rots, poss, _, _ = fk
     sb = mc["site_body"]
     site = _vadd(poss[sb], _mv(rots[sb], _const_vec(mc["site_pos"])))
-    diff = _vsub(site, target)
+    diff = _vsub(site, extras[0:3])
     return list(q) + list(qd) + list(site) + list(diff)
 
 
-def _chain_cl_kernel(state_ref, target_ref, w_ref, noise_ref,
+def _chain_cl_kernel(state_ref, extras_ref, w_ref, noise_ref,
                      costs_ref, obs_ref, acts_ref, *, mc, horizon: int,
-                     n_substeps: int, ulow: float, uhigh: float):
+                     n_substeps: int, ulow: float, uhigh: float,
+                     d_obs: int, obs_fn, cost_fn, n_extras: int):
     n = mc["n"]
-    d_obs = 2 * n + 6
     width = costs_ref.shape[-1]
     q = tuple(jnp.broadcast_to(state_ref[0, i], (width,))
               for i in range(n))
     qd = tuple(jnp.broadcast_to(state_ref[1, i], (width,))
                for i in range(n))
-    target = [jnp.broadcast_to(target_ref[0, i], (width,))
-              for i in range(3)]
+    extras = [jnp.broadcast_to(extras_ref[0, i], (width,))
+              for i in range(n_extras)]
 
     def body(t, carry):
         q, qd = carry
@@ -487,9 +488,10 @@ def _chain_cl_kernel(state_ref, target_ref, w_ref, noise_ref,
 
         @pl.when(t > 0)
         def _write_prev_cost():
-            costs_ref[t - 1, 0] = _site_cost(mc, list(q), target, fk=fk)
+            costs_ref[t - 1, 0] = cost_fn(mc, list(q), list(qd), extras,
+                                          fk)
 
-        obs = _reacher_obs(mc, q, qd, target, fk)
+        obs = obs_fn(mc, q, qd, extras, fk)
         for j in range(d_obs):
             obs_ref[t, j] = obs[j]
 
@@ -509,25 +511,39 @@ def _chain_cl_kernel(state_ref, target_ref, w_ref, noise_ref,
         return (tuple(q), tuple(qd))
 
     q, qd = jax.lax.fori_loop(0, horizon, body, (q, qd))
-    costs_ref[horizon - 1, 0] = _site_cost(mc, list(q), target)
+    fk = _fk(mc, list(q))
+    costs_ref[horizon - 1, 0] = cost_fn(mc, list(q), list(qd), extras, fk)
+
+
+def _reacher_cl_cost(mc, q, qd, extras, fk):
+    return _site_cost(mc, q, extras[0:3], fk=fk)
 
 
 def build_chain_cl_rollout(model, n_substeps: int, ulow: float = -1.0,
-                           uhigh: float = 1.0, tile_n: int = _TILE_N):
+                           uhigh: float = 1.0, tile_n: int = _TILE_N,
+                           obs_fn=_reacher_obs, cost_fn=_reacher_cl_cost,
+                           d_obs: int = None, n_extras: int = 3):
     """Fused closed-loop-linear rollout builder for a scalar-joint
-    ChainModel with the reacher-family obs/cost.
+    ChainModel. Defaults to the reacher-family obs/cost (extras =
+    target [3]); pass obs_fn / cost_fn / d_obs / n_extras for other
+    chain tasks (e.g. peg insertion, whose hole params ride extras).
 
-    Returns rollout(q0 [nv], qd0 [nv], target [3],
+    obs_fn(mc, q, qd, extras, fk) -> list of d_obs lane vectors at the
+    PRE-step state; cost_fn(mc, q, qd, extras, fk) -> lane vector at
+    the POST-step state.
+
+    Returns rollout(q0 [nv], qd0 [nv], extras [n_extras],
     weights [d_obs + 1, nv], noise [N, H, nv]) ->
     (obs [N, H, d_obs], actions [N, H, nv], costs [N, H]) — identical
-    semantics to rollout_closed_loop_linear over the reacher envs
+    semantics to rollout_closed_loop_linear
     (u[b, t] = W.T [obs_b(t); 1] + noise[b, t], obs at the pre-step
     state, cost/action records as the engine produces them)."""
     mc = _model_consts(model)
     n = mc["n"]
-    d_obs = 2 * n + 6
+    if d_obs is None:
+        d_obs = 2 * n + 6
 
-    def rollout(q0, qd0, target, weights, noise):
+    def rollout(q0, qd0, extras_in, weights, noise):
         num_p, horizon = noise.shape[0], noise.shape[1]
         n_pad = _round_up(max(num_p, 8), tile_n)
         noise_t = jnp.zeros((horizon, n, n_pad), jnp.float32)
@@ -537,14 +553,16 @@ def build_chain_cl_rollout(model, n_substeps: int, ulow: float = -1.0,
                            jnp.asarray(qd0, jnp.float32)])      # [2, nv]
         kernel = functools.partial(
             _chain_cl_kernel, mc=mc, horizon=horizon,
-            n_substeps=n_substeps, ulow=ulow, uhigh=uhigh)
+            n_substeps=n_substeps, ulow=ulow, uhigh=uhigh,
+            d_obs=d_obs, obs_fn=obs_fn, cost_fn=cost_fn,
+            n_extras=n_extras)
         costs, obs, acts = pl.pallas_call(
             kernel,
             grid=(n_pad // tile_n,),
             in_specs=[
                 pl.BlockSpec((2, n), lambda j: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 3), lambda j: (0, 0),
+                pl.BlockSpec((1, n_extras), lambda j: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((d_obs + 1, n), lambda j: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -567,7 +585,8 @@ def build_chain_cl_rollout(model, n_substeps: int, ulow: float = -1.0,
                 jax.ShapeDtypeStruct((horizon, n, n_pad), jnp.float32),
             ],
             interpret=_interpret(),
-        )(state, jnp.asarray(target, jnp.float32).reshape(1, 3),
+        )(state,
+          jnp.asarray(extras_in, jnp.float32).reshape(1, n_extras),
           jnp.asarray(weights, jnp.float32), noise_t)
         return (jnp.transpose(obs[:, :, :num_p], (2, 0, 1)),
                 jnp.transpose(acts[:, :, :num_p], (2, 0, 1)),

@@ -81,3 +81,32 @@ def test_reinforce_fused_solve_matches_general():
     np.testing.assert_allclose(np.asarray(sf.mean_weights),
                                np.asarray(sg.mean_weights),
                                rtol=0, atol=5e-5)
+
+
+def test_peg_cl_kernel_matches_engine():
+    """Generalized CL builder with peg obs/cost (hole params + sensor
+    bias ride extras) vs rollout_closed_loop_linear, including the
+    v1 biased variant sharing v0's kernel."""
+    for name in ("sawyer_peg_insertion-v0", "sawyer_peg_insertion-v1"):
+        env = envs.make(name)
+        assert env.fused_cl_rollout is not None
+        rng = np.random.default_rng(7)
+        w = jnp.asarray(rng.normal(size=(env.d_obs + 1, 7)) * 0.05,
+                        jnp.float32)
+        noise = jnp.asarray(rng.normal(size=(6, 3, 7)) * 0.3, jnp.float32)
+        state = env.init(env.params, jax.random.PRNGKey(0))
+        state = state._replace(qpos=state.qpos + jnp.asarray(
+            rng.uniform(-0.2, 0.2, 7), jnp.float32))
+        obs_k, acts_k, costs_k = jax.jit(env.fused_cl_rollout)(
+            env.params, state, w, noise)
+        traj = rollout_closed_loop_linear(env, env.params, state, w,
+                                          noise)
+        np.testing.assert_allclose(np.asarray(obs_k),
+                                   np.asarray(traj.observations),
+                                   rtol=0, atol=2e-5, err_msg=name)
+        np.testing.assert_allclose(np.asarray(acts_k),
+                                   np.asarray(traj.actions),
+                                   rtol=0, atol=2e-5, err_msg=name)
+        np.testing.assert_allclose(np.asarray(costs_k),
+                                   np.asarray(traj.costs),
+                                   rtol=0, atol=2e-4, err_msg=name)

@@ -64,6 +64,13 @@ class Env:
     # (ops/pallas_chain.build_chain_cl_rollout; the Reinforce fast path).
     fused_cl_rollout: Optional[Callable[[Any, Any, jax.Array, jax.Array],
                                         Any]] = None
+    # Optional fused open-loop rollout WITH observations: (params, state,
+    # mean [H, dA], noise [N, H, dA]) -> (obs [N, H, d_obs],
+    # costs [N, H]) — the fast path for observation-consuming open-loop
+    # solvers (MPPIQ with a plugged Q). Actions are mean + noise,
+    # reconstructed by the caller.
+    fused_obs_rollout: Optional[Callable[[Any, Any, jax.Array, jax.Array],
+                                         Any]] = None
 
     def with_params(self, params) -> "Env":
         """Rebind the dynamics parameters (for randomization sweeps)."""

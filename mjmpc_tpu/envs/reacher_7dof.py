@@ -166,7 +166,7 @@ def _make(continual_period: int, name: str) -> Env:
     # costs-only kernel does not model). Model constants are baked at
     # build time — build_solve_fn skips the path for dyn-randomized
     # planning params.
-    fused = fused_cl = None
+    fused = fused_cl = fused_obs = None
     if continual_period == 0:
         from ..ops.pallas_chain import (build_chain_cl_rollout,
                                         build_chain_rollout)
@@ -184,13 +184,22 @@ def _make(continual_period: int, name: str) -> Env:
             return _roll_cl(state.qpos, state.qvel, state.target,
                             weights, noise)
 
+        # open-loop + observations fast path (MPPIQ with a plugged Q)
+        from ..ops.pallas_chain import build_chain_obs_rollout
+        _roll_obs = build_chain_obs_rollout(params.model,
+                                            n_substeps=_FRAME_SKIP)
+
+        def fused_obs(p, state, mean, noise):
+            return _roll_obs(state.qpos, state.qvel, state.target,
+                             mean, noise)
+
     return Env(
         name=name, d_obs=D_OBS, d_action=N_JOINTS,
         action_lows=np.full(N_JOINTS, -1.0, np.float32),
         action_highs=np.full(N_JOINTS, 1.0, np.float32),
         params=params, init=_init, step=_step, observe=_observe,
         success=_success, max_episode_steps=75, fused_rollout=fused,
-        fused_cl_rollout=fused_cl)
+        fused_cl_rollout=fused_cl, fused_obs_rollout=fused_obs)
 
 
 def make() -> Env:

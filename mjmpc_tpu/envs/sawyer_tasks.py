@@ -426,13 +426,10 @@ def _build_peg_fused(model: rb.ChainModel):
     return fused
 
 
-def _build_peg_fused_cl(model: rb.ChainModel):
-    """Fused CLOSED-LOOP-linear Pallas rollout for the peg family
-    (ops/pallas_chain.build_chain_cl_rollout with peg obs/cost): the
-    policy matmul over [qpos, qvel, tip - entry, depth, lateral]
-    (_peg_obs) and the depth-progress insertion cost run in-kernel.
-    Serves the reference-schema peg CL config
-    (configs/sawyer/sawyer_peg_insertion-v0_cl.yml, reinforce block)."""
+def _peg_lane_callbacks(model: rb.ChainModel):
+    """Lane-dialect obs/cost callbacks for the peg kernels (shared by
+    the closed-loop and open-loop+obs builders). extras layout:
+    [entry 3, axis 3, hole_depth, sensor_bias 3]."""
     from ..ops import pallas_chain as pc
 
     site_local = [np.float32(v) for v in np.asarray(model.site_pos)]
@@ -467,17 +464,50 @@ def _build_peg_fused_cl(model: rb.ChainModel):
                   - 5.0 * lateral * inserted + 1.0 * inserted)
         return -reward
 
+    return obs_fn, cost_fn
+
+
+def _peg_extras(params: PegParams):
+    return jnp.concatenate([
+        params.hole_entry, params.hole_axis, params.hole_depth[None],
+        params.sensor_bias])
+
+
+def _build_peg_fused_cl(model: rb.ChainModel):
+    """Fused CLOSED-LOOP-linear Pallas rollout for the peg family
+    (ops/pallas_chain.build_chain_cl_rollout with peg obs/cost): the
+    policy matmul over [qpos, qvel, tip - entry, depth, lateral]
+    (_peg_obs) and the depth-progress insertion cost run in-kernel.
+    Serves the reference-schema peg CL config
+    (configs/sawyer/sawyer_peg_insertion-v0_cl.yml, reinforce block)."""
+    from ..ops import pallas_chain as pc
+
+    obs_fn, cost_fn = _peg_lane_callbacks(model)
     roll = pc.build_chain_cl_rollout(
         model, n_substeps=_FRAME_SKIP, obs_fn=obs_fn, cost_fn=cost_fn,
         d_obs=2 * _N_ARM + 5, n_extras=10)
 
     def fused_cl(params: PegParams, state: PegState, weights, noise):
-        extras = jnp.concatenate([
-            params.hole_entry, params.hole_axis, params.hole_depth[None],
-            params.sensor_bias])
-        return roll(state.qpos, state.qvel, extras, weights, noise)
+        return roll(state.qpos, state.qvel, _peg_extras(params),
+                    weights, noise)
 
     return fused_cl
+
+
+def _build_peg_fused_obs(model: rb.ChainModel):
+    """Fused open-loop rollout WITH observations (MPPIQ-with-Q path)."""
+    from ..ops import pallas_chain as pc
+
+    obs_fn, cost_fn = _peg_lane_callbacks(model)
+    roll = pc.build_chain_obs_rollout(
+        model, n_substeps=_FRAME_SKIP, obs_fn=obs_fn, cost_fn=cost_fn,
+        d_obs=2 * _N_ARM + 5, n_extras=10)
+
+    def fused_obs(params: PegParams, state: PegState, mean, noise):
+        return roll(state.qpos, state.qvel, _peg_extras(params),
+                    mean, noise)
+
+    return fused_obs
 
 
 def make_peg_insertion() -> Env:
@@ -495,7 +525,8 @@ def make_peg_insertion() -> Env:
                observe=_peg_obs, success=_peg_success,
                max_episode_steps=100,
                fused_rollout=_build_peg_fused(model),
-               fused_cl_rollout=_build_peg_fused_cl(model))
+               fused_cl_rollout=_build_peg_fused_cl(model),
+               fused_obs_rollout=_build_peg_fused_obs(model))
 
 
 def make_peg_insertion_v1(sensor_bias=(0.01, -0.012, 0.008)) -> Env:

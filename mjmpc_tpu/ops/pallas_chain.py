@@ -519,6 +519,115 @@ def _reacher_cl_cost(mc, q, qd, extras, fk):
     return _site_cost(mc, q, extras[0:3], fk=fk)
 
 
+def _chain_obs_kernel(state_ref, extras_ref, mean_ref, noise_ref,
+                      costs_ref, obs_ref, *, mc, horizon: int,
+                      n_substeps: int, ulow: float, uhigh: float,
+                      d_obs: int, obs_fn, cost_fn, n_extras: int):
+    """Open-loop actions (mean[t] + eps, the _chain_kernel law) PLUS
+    per-step observation emission — the rollout for observation-hungry
+    open-loop solvers (MPPIQ with a plugged Q)."""
+    n = mc["n"]
+    width = costs_ref.shape[-1]
+    q = tuple(jnp.broadcast_to(state_ref[0, i], (width,))
+              for i in range(n))
+    qd = tuple(jnp.broadcast_to(state_ref[1, i], (width,))
+               for i in range(n))
+    extras = [jnp.broadcast_to(extras_ref[0, i], (width,))
+              for i in range(n_extras)]
+
+    def body(t, carry):
+        q, qd = carry
+        fk = _fk(mc, list(q))
+
+        @pl.when(t > 0)
+        def _write_prev_cost():
+            costs_ref[t - 1, 0] = cost_fn(mc, list(q), list(qd), extras,
+                                          fk)
+
+        obs = obs_fn(mc, q, qd, extras, fk)
+        for j in range(d_obs):
+            obs_ref[t, j] = obs[j]
+
+        u = []
+        for i in range(n):
+            ui = mean_ref[t, i] + noise_ref[t, i]
+            u.append(jnp.clip(ui, np.float32(ulow), np.float32(uhigh)))
+        q, qd = _substep(mc, list(q), list(qd), u, fk=fk)
+        for _ in range(n_substeps - 1):
+            q, qd = _substep(mc, list(q), list(qd), u)
+        return (tuple(q), tuple(qd))
+
+    q, qd = jax.lax.fori_loop(0, horizon, body, (q, qd))
+    fk = _fk(mc, list(q))
+    costs_ref[horizon - 1, 0] = cost_fn(mc, list(q), list(qd), extras, fk)
+
+
+def build_chain_obs_rollout(model, n_substeps: int, ulow: float = -1.0,
+                            uhigh: float = 1.0, tile_n: int = _TILE_N,
+                            obs_fn=_reacher_obs,
+                            cost_fn=_reacher_cl_cost,
+                            d_obs: int = None, n_extras: int = 3):
+    """Open-loop fused rollout that ALSO emits per-step observations.
+
+    Returns rollout(q0 [nv], qd0 [nv], extras [n_extras], mean [H, nv],
+    noise [N, H, nv]) -> (obs [N, H, d_obs], costs [N, H]); identical
+    cost/action semantics to build_chain_rollout, identical obs
+    semantics to the closed-loop builder (obs at the PRE-step state,
+    matching rollout_open_loop's Trajectories.observations). Recorded
+    actions are mean + noise, which the caller reconstructs in XLA."""
+    mc = _model_consts(model)
+    n = mc["n"]
+    if d_obs is None:
+        d_obs = 2 * n + 6
+
+    def rollout(q0, qd0, extras_in, mean, noise):
+        num_p, horizon = noise.shape[0], noise.shape[1]
+        n_pad = _round_up(max(num_p, 8), tile_n)
+        noise_t = jnp.zeros((horizon, n, n_pad), jnp.float32)
+        noise_t = noise_t.at[:, :, :num_p].set(
+            jnp.transpose(noise, (1, 2, 0)))
+        state = jnp.stack([jnp.asarray(q0, jnp.float32),
+                           jnp.asarray(qd0, jnp.float32)])
+        kernel = functools.partial(
+            _chain_obs_kernel, mc=mc, horizon=horizon,
+            n_substeps=n_substeps, ulow=ulow, uhigh=uhigh,
+            d_obs=d_obs, obs_fn=obs_fn, cost_fn=cost_fn,
+            n_extras=n_extras)
+        costs, obs = pl.pallas_call(
+            kernel,
+            grid=(n_pad // tile_n,),
+            in_specs=[
+                pl.BlockSpec((2, n), lambda j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_extras), lambda j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((horizon, n), lambda j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((horizon, n, tile_n), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((horizon, 1, tile_n), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((horizon, d_obs, tile_n),
+                             lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((horizon, 1, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((horizon, d_obs, n_pad),
+                                     jnp.float32),
+            ],
+            interpret=_interpret(),
+        )(state,
+          jnp.asarray(extras_in, jnp.float32).reshape(1, n_extras),
+          jnp.asarray(mean, jnp.float32), noise_t)
+        return (jnp.transpose(obs[:, :, :num_p], (2, 0, 1)),
+                jnp.transpose(costs[:, 0, :num_p], (1, 0)))
+
+    return rollout
+
+
 def build_chain_cl_rollout(model, n_substeps: int, ulow: float = -1.0,
                            uhigh: float = 1.0, tile_n: int = _TILE_N,
                            obs_fn=_reacher_obs, cost_fn=_reacher_cl_cost,

@@ -181,26 +181,36 @@ def build_solve_fn(solver: GaussianMPC, env: Env, calc_val: bool = False,
     GSPMD then propagates the layout through the rollout scan and lowers
     the solver's particle reductions to ICI collectives.
 
-    fused: use the env's fused Pallas rollout (costs-only fast path).
-    "auto" = yes when the env provides one, the solver never reads
-    trajectory observations, and the solve is unsharded. Pass False when
-    planning against params that differ from the env's build-time params
+    fused: use the env's fused Pallas rollout. "auto" = yes when the env
+    provides one matching the solver's trajectory needs (costs-only
+    `fused_rollout` for solvers that never read observations;
+    `fused_obs_rollout` for observation-consuming ones like MPPIQ with
+    a plugged Q) and the solve is unsharded. Pass False when planning
+    against params that differ from the env's build-time params
     (dynamics randomization — the kernel bakes model constants).
     """
     shard = shard_particles or (lambda x: x)
     if fused == "auto":
-        fused = (env.fused_rollout is not None
-                 and not solver.uses_observations
+        kernel = (env.fused_obs_rollout if solver.uses_observations
+                  else env.fused_rollout)
+        fused = (kernel is not None
                  and shard_particles is None
                  # kernels marked cpu_auto=False (the hand-suite forest
                  # kernels) only auto-engage on real TPU: their
                  # interpret-mode XLA-CPU codegen takes >10 min per
                  # (H, N) shape, so CPU runs keep the general path
                  # unless the caller passes fused=True explicitly
-                 and (getattr(env.fused_rollout, "cpu_auto", True)
+                 and (getattr(kernel, "cpu_auto", True)
                       or jax.default_backend() == "tpu"))
 
     def do_rollout(env_params, env_state, mean, noise):
+        if fused and solver.uses_observations:
+            obs, costs = env.fused_obs_rollout(env_params, env_state,
+                                               mean, noise)
+            return Trajectories(
+                observations=obs, actions=mean[None] + noise,
+                costs=costs, dones=None, next_observations=None,
+                successes=None)
         if fused:
             costs = env.fused_rollout(env_params, env_state, mean, noise)
             return Trajectories(

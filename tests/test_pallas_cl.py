@@ -110,3 +110,53 @@ def test_peg_cl_kernel_matches_engine():
         np.testing.assert_allclose(np.asarray(costs_k),
                                    np.asarray(traj.costs),
                                    rtol=0, atol=2e-4, err_msg=name)
+
+
+def test_obs_kernel_matches_engine_open_loop():
+    """Open-loop + observations kernel (MPPIQ-with-Q path) vs
+    rollout_open_loop on reacher and peg."""
+    from mjmpc_tpu.rollout.engine import rollout_open_loop
+    for name in ("reacher_7dof-v0", "sawyer_peg_insertion-v1"):
+        env = envs.make(name)
+        assert env.fused_obs_rollout is not None
+        rng = np.random.default_rng(11)
+        mean = jnp.asarray(rng.normal(size=(4, 7)) * 0.2, jnp.float32)
+        noise = jnp.asarray(rng.normal(size=(8, 4, 7)) * 0.3, jnp.float32)
+        state = env.init(env.params, jax.random.PRNGKey(0))
+        state = state._replace(qpos=state.qpos + jnp.asarray(
+            rng.uniform(-0.2, 0.2, 7), jnp.float32))
+        obs_k, costs_k = jax.jit(env.fused_obs_rollout)(
+            env.params, state, mean, noise)
+        traj = rollout_open_loop(env, env.params, state, mean, noise)
+        np.testing.assert_allclose(np.asarray(obs_k),
+                                   np.asarray(traj.observations),
+                                   rtol=0, atol=2e-5, err_msg=name)
+        np.testing.assert_allclose(np.asarray(costs_k),
+                                   np.asarray(traj.costs),
+                                   rtol=0, atol=2e-4, err_msg=name)
+
+
+def test_mppiq_with_q_fused_solve_matches_general():
+    """MPPIQ with a plugged Q (uses_observations) must auto-ride the
+    obs kernel and agree with the general engine path end-to-end."""
+    env = envs.make("reacher_7dof-v0")
+
+    def q_fn(obs, acts):
+        return 0.05 * jnp.sum(obs ** 2, -1) + 0.1 * jnp.sum(acts ** 2, -1)
+
+    solver = solvers.MPPIQ(d_action=7, horizon=4, num_particles=16,
+                           beta=0.3, td_lam=0.9, gamma=0.99,
+                           init_cov=0.4, step_size=0.8, alpha=1,
+                           filter_coeffs=(0.25, 0.8, 0.0),
+                           base_action="null", q_fn=q_fn)
+    assert solver.uses_observations
+    s0 = solver.init_state(jax.random.PRNGKey(0))
+    es = env.init(env.params, jax.random.PRNGKey(1))
+    a_f, _, sf = jax.jit(solvers.build_solve_fn(solver, env, fused=True))(
+        env.params, es, s0)
+    a_g, _, sg = jax.jit(solvers.build_solve_fn(solver, env, fused=False))(
+        env.params, es, s0)
+    np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_g),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sf.mean), np.asarray(sg.mean),
+                               rtol=0, atol=1e-5)

@@ -78,7 +78,11 @@ def _measure_with_retry(run_window):
                 contended=spread_pct > SPREAD_OK_PCT, attempts=attempts)
 
 
+_PHASE = ["startup"]      # watchdog reads this to label a stall truthfully
+
+
 def main():
+    _PHASE[0] = "env_build"
     name = ("reacher_7dof-v0" if "reacher_7dof-v0" in envs.available()
             else "SimplePendulum-v0")
     env = envs.make(name)
@@ -108,9 +112,12 @@ def main():
         return k / elapsed
 
     # compile + window sizing probe
+    _PHASE[0] = "device_init_or_compile"
     rate = run_chain(3)
+    _PHASE[0] = "window_sizing_probe"
     solves_per_window = max(20, int(TARGET_WINDOW_S * run_chain(20)))
 
+    _PHASE[0] = "measurement_windows"
     dispatch = _measure_with_retry(lambda: run_chain(solves_per_window))
     median = dispatch["p50"]
 
@@ -158,7 +165,8 @@ def _main_with_watchdog():
             "value": 0.0,
             "unit": "solves/s",
             "vs_baseline": 0.0,
-            "error": "device_init_or_compile_stalled",
+            "error": "stalled",
+            "stalled_in_phase": _PHASE[0],
             "stalled_after_s": round(time.perf_counter() - start, 1),
             "read_verified": False,
         }), flush=True)

@@ -19,7 +19,6 @@ expressed with sim_env_name / dynamics randomization on glass mass.
 """
 from __future__ import annotations
 
-import dataclasses
 
 from typing import NamedTuple
 
@@ -207,16 +206,25 @@ def _build_tray_fused(model: rb.ChainModel):
     return fused
 
 
-def make() -> Env:
-    model = build_model()
+def _make_tray_env(model: rb.ChainModel, name: str, init,
+                   max_episode_steps: int) -> Env:
+    """Single construction point for the tray-glass family: each variant
+    passes its own (already-modified) model so only ONE ChainModel and
+    ONE fused kernel are built per make_* call, and a future Env-field
+    addition cannot be silently dropped by a dataclasses.replace chain."""
     params = TrayGlassParams(model=model, fall_penalty=jnp.float32(5.0))
-    return Env(name="panda_tray_glass-v0", d_obs=9 + 9 + 3 + 3,
+    return Env(name=name, d_obs=9 + 9 + 3 + 3,
                d_action=7,
                action_lows=np.full(7, -1.0, np.float32),
                action_highs=np.full(7, 1.0, np.float32),
-               params=params, init=_init, step=_step, observe=_observe,
-               success=_success, max_episode_steps=100,
+               params=params, init=init, step=_step, observe=_observe,
+               success=_success, max_episode_steps=max_episode_steps,
                fused_rollout=_build_tray_fused(model))
+
+
+def make() -> Env:
+    return _make_tray_env(build_model(), "panda_tray_glass-v0", _init,
+                          max_episode_steps=100)
 
 
 def _init_v1(params: TrayGlassParams, key: jax.Array) -> TrayGlassState:
@@ -242,11 +250,8 @@ def make_v1() -> Env:
     # slipperier tray: halve the glass-slide viscous damping (friction)
     damping = model.damping.at[_N_ARM:].mul(0.5)
     model = model._replace(damping=damping)
-    params = TrayGlassParams(model=model, fall_penalty=jnp.float32(5.0))
-    env = make()
-    return dataclasses.replace(env, name="panda_tray_glass-v1", params=params,
-                       init=_init_v1, max_episode_steps=75,
-                       fused_rollout=_build_tray_fused(model))
+    return _make_tray_env(model, "panda_tray_glass-v1", _init_v1,
+                          max_episode_steps=75)
 
 
 def make_fixed_v1() -> Env:
@@ -258,15 +263,15 @@ def make_fixed_v1() -> Env:
     believes the glass can never slide off. State pytree matches v1, so
     it drops into the sim_env slot of the episode runner."""
     model = build_model()
+    # keep v1's slipperier damping AND clamp the slide DOFs
+    damping = model.damping.at[_N_ARM:].mul(0.5)
     zero = jnp.zeros(2, jnp.float32)
     model = model._replace(
+        damping=damping,
         qpos_low=model.qpos_low.at[_N_ARM:].set(zero),
         qpos_high=model.qpos_high.at[_N_ARM:].set(zero))
-    params = TrayGlassParams(model=model, fall_penalty=jnp.float32(5.0))
-    env = make_v1()
-    return dataclasses.replace(env, name="panda_tray_glass_fixed-v1",
-                       params=params,
-                       fused_rollout=_build_tray_fused(model))
+    return _make_tray_env(model, "panda_tray_glass_fixed-v1", _init_v1,
+                          max_episode_steps=75)
 
 
 # name tables for dynamics randomization (glass mass/damping by name).

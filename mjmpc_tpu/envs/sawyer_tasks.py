@@ -387,6 +387,34 @@ def _peg_success(params, state):
     return (depth > 0.8 * params.hole_depth) & (lateral < 0.025)
 
 
+def _peg_sensed_lane(h, tip, extras):
+    """Sensed-frame depth/lateral in lane dialect; `h` is the kernel
+    helper module (ops.pallas_chain or ops.pallas_forest — identical
+    _v* vocabularies). extras: [entry 3, axis 3, hole_depth, bias 3]."""
+    entry, axis = extras[0:3], extras[3:6]
+    bias = extras[7:10]
+    rel = h._vsub(tip, h._vadd(entry, bias))
+    depth = h._vdot(rel, axis)
+    off = h._vsub(rel, h._vscale(depth, axis))
+    lateral = jnp.sqrt(h._vdot(off, off) + np.float32(1e-12))
+    return depth, lateral
+
+
+def _peg_cost_lane(h, tip, extras):
+    """THE depth-progress insertion cost (_peg_step's reward negated),
+    shared by the forest open-loop kernel and the chain CL/obs kernels
+    so the three fused planners can never drift from each other."""
+    depth, lateral = _peg_sensed_lane(h, tip, extras)
+    entry, axis, hole_depth = extras[0:3], extras[3:6], extras[6]
+    bottom = h._vadd(entry, h._vscale(hole_depth, axis))
+    d = h._vsub(tip, bottom)
+    inserted = jnp.clip(depth, 0.0, hole_depth) \
+        / jnp.maximum(hole_depth, np.float32(1e-6))
+    reward = (-jnp.sqrt(h._vdot(d, d) + np.float32(1e-12))
+              - 5.0 * lateral * inserted + 1.0 * inserted)
+    return -reward
+
+
 def _build_peg_fused(model: rb.ChainModel):
     """Fused Pallas rollout for sawyer_peg_insertion: the pure 7-joint
     arm with the depth-progress insertion cost of `_peg_step` (no
@@ -398,71 +426,39 @@ def _build_peg_fused(model: rb.ChainModel):
     sb = int(model.site_body)
 
     def cost_fn(q, qd, rots, poss, extras):
-        entry = extras[0:3]
-        axis = extras[3:6]
-        hole_depth = extras[6]
-        bias = extras[7:10]
         tip = pf._vadd(poss[sb], pf._mv(rots[sb], site_local))
-        rel = pf._vsub(tip, pf._vadd(entry, bias))
-        depth = pf._vdot(rel, axis)
-        lateral = pf._vnorm(pf._vsub(rel, pf._vscale(depth, axis)))
-        bottom = pf._vadd(entry, pf._vscale(hole_depth, axis))
-        inserted = jnp.clip(depth, 0.0, hole_depth) \
-            / jnp.maximum(hole_depth, np.float32(1e-6))
-        reward = (-pf._vnorm(pf._vsub(tip, bottom))
-                  - 5.0 * lateral * inserted + 1.0 * inserted)
-        return -reward
+        return _peg_cost_lane(pf, tip, extras)
 
     roll = pf.build_forest_rollout(
         model, n_substeps=_FRAME_SKIP, act_bodies=list(range(_N_ARM)),
         force_fn=None, cost_fn=cost_fn, n_extras=10)
 
     def fused(params: PegParams, state: PegState, mean, noise):
-        extras = jnp.concatenate([
-            params.hole_entry, params.hole_axis, params.hole_depth[None],
-            params.sensor_bias])
-        return roll(state.qpos, state.qvel, extras, mean, noise)
+        return roll(state.qpos, state.qvel, _peg_extras(params),
+                    mean, noise)
 
     return fused
 
 
 def _peg_lane_callbacks(model: rb.ChainModel):
-    """Lane-dialect obs/cost callbacks for the peg kernels (shared by
-    the closed-loop and open-loop+obs builders). extras layout:
-    [entry 3, axis 3, hole_depth, sensor_bias 3]."""
+    """Lane-dialect obs/cost callbacks for the chain CL / open-loop+obs
+    peg kernels. extras layout: [entry 3, axis 3, hole_depth, bias 3]."""
     from ..ops import pallas_chain as pc
 
     site_local = [np.float32(v) for v in np.asarray(model.site_pos)]
     sb = int(model.site_body)
 
-    def _sensed(tip, extras):
-        entry, axis = extras[0:3], extras[3:6]
-        bias = extras[7:10]
-        rel = pc._vsub(tip, pc._vadd(entry, bias))
-        depth = pc._vdot(rel, axis)
-        off = pc._vsub(rel, pc._vscale(depth, axis))
-        lateral = jnp.sqrt(pc._vdot(off, off) + np.float32(1e-12))
-        return depth, lateral
-
     def obs_fn(mc, q, qd, extras, fk):
         rots, poss, _, _ = fk
         tip = pc._vadd(poss[sb], pc._mv(rots[sb], site_local))
-        depth, lateral = _sensed(tip, extras)
+        depth, lateral = _peg_sensed_lane(pc, tip, extras)
         rel0 = pc._vsub(tip, extras[0:3])    # obs uses the UNbiased entry
         return list(q) + list(qd) + list(rel0) + [depth, lateral]
 
     def cost_fn(mc, q, qd, extras, fk):
         rots, poss, _, _ = fk
         tip = pc._vadd(poss[sb], pc._mv(rots[sb], site_local))
-        depth, lateral = _sensed(tip, extras)
-        entry, axis, hole_depth = extras[0:3], extras[3:6], extras[6]
-        bottom = pc._vadd(entry, pc._vscale(hole_depth, axis))
-        d = pc._vsub(tip, bottom)
-        inserted = jnp.clip(depth, 0.0, hole_depth) \
-            / jnp.maximum(hole_depth, np.float32(1e-6))
-        reward = (-jnp.sqrt(pc._vdot(d, d) + np.float32(1e-12))
-                  - 5.0 * lateral * inserted + 1.0 * inserted)
-        return -reward
+        return _peg_cost_lane(pc, tip, extras)
 
     return obs_fn, cost_fn
 

@@ -31,7 +31,6 @@ def test_swimmer_drag_is_dissipative_pointwise():
     env = envs.make("Swimmer-v0")
     fn = jax.jit(swim._ext_forces(env.params))
     rng = np.random.default_rng(0)
-    n = env.params.model.parent.__len__()
     nq = env.init(env.params, jax.random.PRNGKey(0)).qpos.shape[0]
     for i in range(12):
         q = jnp.asarray(rng.normal(size=nq) * 1.0, jnp.float32)

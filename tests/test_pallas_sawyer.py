@@ -145,3 +145,54 @@ def test_fused_solve_matches_general_solve():
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sf.mean), np.asarray(sg.mean),
                                rtol=0, atol=1e-5)
+
+
+def test_door_grab_spring_engages():
+    """Review finding: the default parity state starts the hand 0.56 m
+    from the handle vs grab_radius 0.12, so the grab-spring path was
+    zero-force in every test. Enlarge grab_radius (it rides extras) so
+    the gated spring is LIVE for the whole rollout and must match the
+    engine, and check it actually moves the door."""
+    env = envs.make("sawyer_door-v0")
+    params = env.params._replace(grab_radius=jnp.float32(1.0))
+    state = env.init(params, jax.random.PRNGKey(0))
+    # start the door OPEN: at q=0 the spring just presses the door into
+    # its closed joint limit (qlow=0) and provably changes nothing;
+    # from 0.3 rad it visibly slams the door shut within 3 steps
+    state = state._replace(qpos=state.qpos.at[7].set(0.3))
+    mean = jnp.zeros((3, 7))
+    noise = 0.2 * jax.random.normal(jax.random.PRNGKey(5), (6, 3, 7))
+    costs_k = np.asarray(jax.jit(env.fused_rollout)(
+        params, state, mean, noise))
+    traj = rollout_open_loop(env, params, state, mean, noise)
+    np.testing.assert_allclose(costs_k, np.asarray(traj.costs),
+                               rtol=0, atol=2e-4)
+    # the spring must actually do something: costs differ from the
+    # spring-off (tiny radius) rollout
+    off = env.params._replace(grab_radius=jnp.float32(1e-6))
+    costs_off = np.asarray(jax.jit(env.fused_rollout)(
+        off, state, mean, noise))
+    assert np.abs(costs_k - costs_off).max() > 1e-5
+
+
+def test_tray_glass_fall_penalty_branch_live():
+    """Review finding: the fall-penalty branch (slide > tray radius)
+    was never live in the parity tests. Start the glass OFF the tray
+    edge so the branch fires, check kernel == engine, and that the
+    penalty value (extras[3]) actually moves the cost."""
+    env = envs.make("panda_tray_glass-v0")
+    state = env.init(env.params, jax.random.PRNGKey(0))
+    qpos = state.qpos.at[7].set(0.13).at[8].set(0.02)  # slide 0.131 > 0.12
+    state = state._replace(qpos=qpos)
+    mean = jnp.zeros((3, 7))
+    noise = 0.1 * jax.random.normal(jax.random.PRNGKey(6), (6, 3, 7))
+    fr = jax.jit(env.fused_rollout)
+    costs_k = np.asarray(fr(env.params, state, mean, noise))
+    traj = rollout_open_loop(env, env.params, state, mean, noise)
+    np.testing.assert_allclose(costs_k, np.asarray(traj.costs),
+                               rtol=0, atol=2e-4)
+    doubled = env.params._replace(fall_penalty=jnp.float32(10.0))
+    costs_2x = np.asarray(fr(doubled, state, mean, noise))
+    # every step in the fallen region gains exactly the extra 5.0
+    gain = costs_2x - costs_k
+    assert gain.max() > 4.9, gain.max()

@@ -58,6 +58,9 @@ def main(argv=None):
     p.add_argument("--td_lam", type=float, default=0.9)
     p.add_argument("--gamma", type=float, default=0.99)
     p.add_argument("--init_cov", type=float, default=0.3)
+    p.add_argument("--updates_per_step", type=int, default=1,
+                   help="SAC gradient updates per environment step; raise "
+                        "above 1 to fit harder on small data budgets")
     p.add_argument("--seed", type=int, default=123)
     args = p.parse_args(argv)
 
@@ -67,7 +70,8 @@ def main(argv=None):
     m = SACMPC(env=env, horizon=args.horizon,
                num_particles=args.num_particles, beta=args.beta,
                td_lam=args.td_lam, gamma=args.gamma,
-               init_cov=args.init_cov, seed=args.seed)
+               init_cov=args.init_cov,
+               updates_per_step=args.updates_per_step, seed=args.seed)
     train_rewards = m.train(args.train_steps, episode_length=ep_len)
     print(json.dumps({"train_episode_rewards":
                       [round(r, 1) for r in train_rewards]}), flush=True)

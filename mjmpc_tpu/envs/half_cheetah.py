@@ -160,6 +160,40 @@ def _step(params: CheetahParams, state: CheetahState, action: jax.Array):
         jnp.array(False)
 
 
+def _loco_cost(mc, q_in, q_out, qd_out, u):
+    """-(reward) of _step in the fused kernel's lane dialect
+    (reference half_cheetah.py:10-19). Base dofs carry zero actions, so
+    summing u^2 over the 6 actuated joints matches the env exactly."""
+    inv_dt = np.float32(1.0 / (_DT * _FRAME_SKIP))
+    fwd = (q_out[0] - q_in[0]) * inv_dt
+    ctrl = sum(u[j] * u[j] for j in range(3, 9))
+    return np.float32(0.1) * ctrl - fwd
+
+
+def _build_fused(params: CheetahParams):
+    """Fused Pallas rollout (ops/pallas_chain.py locomotion variant —
+    the tree recursions handle the cheetah's branched legs). Contact
+    gains are baked constants — build_solve_fn callers must pass
+    fused=False when planning under randomized contact params."""
+    from ..ops.pallas_chain import (build_chain_ext_rollout,
+                                    make_ground_contact)
+    contact = make_ground_contact(
+        _CONTACTS, radius=_CONTACT_R, kp=float(params.kp),
+        kd=float(params.kd), mu=float(params.mu))
+    roll = build_chain_ext_rollout(
+        params.model, n_substeps=_FRAME_SKIP, ext_fn=contact,
+        step_cost_fn=_loco_cost)
+
+    def fused(p, state, mean, noise):
+        pad_m = jnp.zeros((mean.shape[0], 3), mean.dtype)
+        pad_n = jnp.zeros(noise.shape[:2] + (3,), noise.dtype)
+        return roll(state.qpos, state.qvel,
+                    jnp.concatenate([pad_m, mean], axis=-1),
+                    jnp.concatenate([pad_n, noise], axis=-1))
+
+    return fused
+
+
 def make() -> Env:
     params = CheetahParams(model=build_model(),
                            kp=jnp.float32(6000.0),
@@ -170,4 +204,4 @@ def make() -> Env:
         action_lows=np.full(6, -1.0, np.float32),
         action_highs=np.full(6, 1.0, np.float32),
         params=params, init=_init, step=_step, observe=_observe,
-        max_episode_steps=500)
+        max_episode_steps=500, fused_rollout=_build_fused(params))

@@ -147,6 +147,44 @@ def _step(params: SwimmerParams, state: SwimmerState, action: jax.Array):
         jnp.array(False)
 
 
+def _loco_cost(mc, q_in, q_out, qd_out, u):
+    """-(reward) of _step in the fused kernel's lane dialect: forward
+    x-progress per control step minus the quadratic action cost
+    (reference swimmer.py:10-19). Base dofs carry zero actions, so
+    summing u^2 over the actuated joints only matches the env exactly."""
+    inv_dt = np.float32(1.0 / (_DT * _FRAME_SKIP))
+    fwd = (q_out[0] - q_in[0]) * inv_dt
+    ctrl = sum(u[j] * u[j] for j in range(3, 3 + _N_LINKS - 1))
+    return np.float32(1e-4) * ctrl - fwd
+
+
+def _build_fused(params: SwimmerParams):
+    """Fused Pallas rollout (ops/pallas_chain.py locomotion variant):
+    drag coefficients are baked constants — build_solve_fn callers must
+    pass fused=False when planning under randomized fluid params."""
+    from ..ops.pallas_chain import (build_chain_ext_rollout,
+                                    make_capsule_drag)
+    drag = make_capsule_drag(
+        link_bodies=range(2, 2 + _N_LINKS),
+        sample_offsets=(0.25 * _LINK_LEN, 0.75 * _LINK_LEN),
+        drag_perp=np.asarray(params.drag_perp),
+        drag_par=np.asarray(params.drag_par))
+    roll = build_chain_ext_rollout(
+        params.model, n_substeps=_FRAME_SKIP, ext_fn=drag,
+        step_cost_fn=_loco_cost, vel_limit=np.asarray(_VEL_LIMIT))
+
+    def fused(p, state, mean, noise):
+        # pad the 4-dim action space onto the 7 scalar dofs (the env's
+        # zero-concat ctrl layout — base slides/yaw are unactuated)
+        pad_m = jnp.zeros((mean.shape[0], 3), mean.dtype)
+        pad_n = jnp.zeros(noise.shape[:2] + (3,), noise.dtype)
+        return roll(state.qpos, state.qvel,
+                    jnp.concatenate([pad_m, mean], axis=-1),
+                    jnp.concatenate([pad_n, noise], axis=-1))
+
+    return fused
+
+
 def make() -> Env:
     params = SwimmerParams(build_model(), *_drag_coeffs())
     return Env(
@@ -154,4 +192,4 @@ def make() -> Env:
         action_lows=np.full(4, -1.0, np.float32),
         action_highs=np.full(4, 1.0, np.float32),
         params=params, init=_init, step=_step, observe=_observe,
-        max_episode_steps=500)
+        max_episode_steps=500, fused_rollout=_build_fused(params))

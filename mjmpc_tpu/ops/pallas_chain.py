@@ -264,7 +264,10 @@ def _chol_solve(mc, m_out, rhs):
     low = {}
     for i in range(n):
         for j in range(i + 1):
-            s = m_out[(j, i)] if (j, i) in m_out else m_out[(i, j)]
+            # cross-branch dof pairs of a tree never share a descendant
+            # body: their M entry is structurally zero (absent from the
+            # dict)
+            s = m_out.get((j, i), m_out.get((i, j), np.float32(0.0)))
             for k in range(j):
                 s = s - low[(i, k)] * low[(j, k)]
             if i == j:
@@ -286,11 +289,13 @@ def _chol_solve(mc, m_out, rhs):
     return [x[i] for i in range(n)]
 
 
-def _substep(mc, q, qd, u, fk=None):
+def _substep(mc, q, qd, u, fk=None, ext=None):
     """One semi-implicit Euler substep for the lane panel — the
     engine.chain.step body with everything resident in registers.
     `fk` lets the caller pass a precomputed _fk(mc, q) (the cost of the
-    previous control step evaluates FK at exactly this q)."""
+    previous control step evaluates FK at exactly this q); `ext` is an
+    optional list of n generalized-force lane vectors added to the rhs
+    (engine.chain.step's ext_force_fn slot — fluid drag, contact)."""
     n = mc["n"]
     dt = np.float32(mc["dt"])
     rots, poss, axes, origins = fk if fk is not None else _fk(mc, q)
@@ -302,7 +307,10 @@ def _substep(mc, q, qd, u, fk=None):
         stiff = np.float32(mc["stiffness"][i])
         gear = np.float32(mc["gear"][i])
         m_out[(i, i)] = m_out[(i, i)] + (arm + dt * damp)
-        rhs.append(gear * u[i] - bias[i] - damp * qd[i] - stiff * q[i])
+        r = gear * u[i] - bias[i] - damp * qd[i] - stiff * q[i]
+        if ext is not None:
+            r = r + ext[i]
+        rhs.append(r)
     acc = _chol_solve(mc, m_out, rhs)
     q_new, qd_new = [], []
     for i in range(n):
@@ -700,5 +708,206 @@ def build_chain_cl_rollout(model, n_substeps: int, ulow: float = -1.0,
         return (jnp.transpose(obs[:, :, :num_p], (2, 0, 1)),
                 jnp.transpose(acts[:, :, :num_p], (2, 0, 1)),
                 jnp.transpose(costs[:, 0, :num_p], (1, 0)))
+
+    return rollout
+
+
+# ---------------------------------------------------------------------------
+# Locomotion variant: external generalized forces (fluid drag, ground
+# contact) evaluated per substep INSIDE the kernel, plus a per-control-
+# step cost law over (state-in, state-out, action) — the fused fast path
+# for the swimmer / half-cheetah family, whose XLA rollout pays the same
+# HBM round-trip pathology as the arm family's (header comment). The
+# tree recursions (_fk / _ancestors / _mass_and_bias) already handle
+# branched parent arrays, so this covers the cheetah's legged tree too.
+# ---------------------------------------------------------------------------
+
+
+def _point_jac_cols(mc, body, pt_w, axes, origins):
+    """Translational point-Jacobian columns J_d for body's ancestor dofs
+    at world point pt_w (lane dialect): hinge -> a_d x (pt - o_d), slide
+    -> a_d. The analytic form of engine.chain.point_force_to_generalized
+    / point_state's AD Jacobian, exact for scalar joints."""
+    cols = {}
+    for d in _ancestors(mc, body):
+        if mc["jtype"][d] == 0:
+            cols[d] = _vcross(axes[d], _vsub(pt_w, origins[d]))
+        else:
+            cols[d] = axes[d]
+    return cols
+
+
+def make_capsule_drag(link_bodies, sample_offsets, drag_perp, drag_par,
+                      vcap: float = 4.0):
+    """Slender-body anisotropic quadratic drag for x-aligned capsule
+    links — envs/swimmer.py _ext_forces in lane dialect: at each sample
+    point s along the link axis, F = -c_perp/2 * min(|v_n|, vcap) * v_n
+    - c_par/2 * min(|v_t|, vcap) * v_t, mapped through the point
+    Jacobian. Returns ext_fn(mc, q, qd, fk) -> [n] lane vectors."""
+    link_bodies = list(link_bodies)
+    sample_offsets = [np.float32(s) for s in sample_offsets]
+    drag_perp = [np.float32(c) for c in np.asarray(drag_perp)]
+    drag_par = [np.float32(c) for c in np.asarray(drag_par)]
+
+    def ext_fn(mc, q, qd, fk):
+        rots, poss, axes, origins = fk
+        tau = [jnp.zeros_like(qd[0]) for _ in range(mc["n"])]
+        for li, b in enumerate(link_bodies):
+            r = rots[b]
+            axis_w = [r[0], r[3], r[6]]          # R @ e_x (unit column)
+            cp = np.float32(0.5 * drag_perp[li])
+            cl = np.float32(0.5 * drag_par[li])
+            for s in sample_offsets:
+                pt_w = _vadd(poss[b], _vscale(s, axis_w))
+                cols = _point_jac_cols(mc, b, pt_w, axes, origins)
+                v = [jnp.zeros_like(qd[0])] * 3
+                for d, col in cols.items():
+                    v = _vadd(v, _vscale(qd[d], col))
+                v_ax = _vdot(v, axis_w)
+                v_par = _vscale(v_ax, axis_w)
+                v_perp = _vsub(v, v_par)
+                n_perp = jnp.sqrt(_vdot(v_perp, v_perp))
+                n_par = jnp.abs(v_ax)
+                f = _vadd(
+                    _vscale(-cp * jnp.minimum(n_perp, np.float32(vcap)),
+                            v_perp),
+                    _vscale(-cl * jnp.minimum(n_par, np.float32(vcap)),
+                            v_par))
+                for d, col in cols.items():
+                    tau[d] = tau[d] + _vdot(col, f)
+        return tau
+
+    return ext_fn
+
+
+def make_ground_contact(contacts, radius: float, kp: float, kd: float,
+                        mu: float, slip_vel: float = 0.1):
+    """Planar compliant ground contact at body-local sample points —
+    envs/half_cheetah.py _ext_forces in lane dialect: spring-damper
+    normal force below z = radius, saturated Coulomb friction
+    -mu * f_n * tanh(v_x / slip_vel) opposing x slip. Contact gains are
+    baked constants (pass fused=False to build_solve_fn when
+    randomizing them). Returns ext_fn(mc, q, qd, fk)."""
+    contacts = [(int(b), np.asarray(p, np.float32)) for b, p in contacts]
+    radius, kp, kd = np.float32(radius), np.float32(kp), np.float32(kd)
+    mu, inv_slip = np.float32(mu), np.float32(1.0 / slip_vel)
+
+    def ext_fn(mc, q, qd, fk):
+        rots, poss, axes, origins = fk
+        tau = [jnp.zeros_like(qd[0]) for _ in range(mc["n"])]
+        for b, pt in contacts:
+            pt_w = _vadd(poss[b], _mv(rots[b], _const_vec(pt)))
+            cols = _point_jac_cols(mc, b, pt_w, axes, origins)
+            v = [jnp.zeros_like(qd[0])] * 3
+            for d, col in cols.items():
+                v = _vadd(v, _vscale(qd[d], col))
+            depth = radius - pt_w[2]
+            fn_mag = jnp.where(
+                depth > 0.0,
+                jnp.maximum(kp * depth - kd * v[2], 0.0), 0.0)
+            ft = -mu * fn_mag * jnp.tanh(v[0] * inv_slip)
+            for d, col in cols.items():
+                tau[d] = tau[d] + col[0] * ft + col[2] * fn_mag
+        return tau
+
+    return ext_fn
+
+
+def _chain_ext_kernel(state_ref, mean_ref, noise_ref, costs_ref, *, mc,
+                      horizon: int, n_substeps: int, ulow: float,
+                      uhigh: float, ext_fn, step_cost_fn, vel_limit):
+    n = mc["n"]
+    width = costs_ref.shape[-1]
+    q = tuple(jnp.broadcast_to(state_ref[0, i], (width,))
+              for i in range(n))
+    qd = tuple(jnp.broadcast_to(state_ref[1, i], (width,))
+               for i in range(n))
+
+    def body(t, carry):
+        q, qd = carry
+        q_in = q
+        u = []
+        for j in range(n):
+            uj = mean_ref[t, j] + noise_ref[t, j]
+            u.append(jnp.clip(uj, np.float32(ulow), np.float32(uhigh)))
+
+        # substeps via fori_loop: the cheetah runs 25 per control step —
+        # unrolling would blow up the kernel program size
+        def sub(_, c):
+            q, qd = c
+            fk = _fk(mc, list(q))
+            ext = (ext_fn(mc, list(q), list(qd), fk)
+                   if ext_fn is not None else None)
+            qn, qdn = _substep(mc, list(q), list(qd), u, fk=fk, ext=ext)
+            return (tuple(qn), tuple(qdn))
+
+        q, qd = jax.lax.fori_loop(0, n_substeps, sub, (q, qd))
+        if vel_limit is not None:
+            qd = tuple(jnp.clip(qd[i], -np.float32(vel_limit[i]),
+                                np.float32(vel_limit[i]))
+                       for i in range(n))
+        costs_ref[t, 0] = step_cost_fn(mc, list(q_in), list(q), list(qd),
+                                       u)
+        return (q, qd)
+
+    jax.lax.fori_loop(0, horizon, body, (q, qd))
+
+
+def build_chain_ext_rollout(model, n_substeps: int, ext_fn=None,
+                            step_cost_fn=None, vel_limit=None,
+                            ulow: float = -1.0, uhigh: float = 1.0,
+                            tile_n: int = _TILE_N):
+    """Fused rollout builder for scalar-joint models with per-substep
+    external forces and a control-step cost law (the locomotion family).
+
+    ext_fn(mc, q, qd, fk) -> [n] generalized-force lane vectors,
+    evaluated at every substep (engine.chain.step ext_force_fn
+    semantics). step_cost_fn(mc, q_in, q_out, qd_out, u) -> cost lane
+    vector for one control step (u is the CLIPPED action the env
+    integrates — the cost = -reward convention of rollout_open_loop).
+    vel_limit: optional per-dof |qd| clamp applied once per control
+    step, after the substeps (envs/swimmer.py _VEL_LIMIT semantics).
+
+    Returns rollout(q0 [nv], qd0 [nv], mean [H, nv], noise [N, H, nv])
+    -> costs [N, H]. Actions for unactuated base dofs must arrive as
+    zeros (mean and noise padded by the env wrapper — gear * 0 = 0
+    matches the env's zero-concat ctrl layout)."""
+    mc = _model_consts(model)
+    n = mc["n"]
+    if vel_limit is not None:
+        vel_limit = [float(v) for v in np.asarray(vel_limit)]
+
+    def rollout(q0, qd0, mean, noise):
+        num_p, horizon = noise.shape[0], noise.shape[1]
+        n_pad = _round_up(max(num_p, 8), tile_n)
+        noise_t = jnp.zeros((horizon, n, n_pad), jnp.float32)
+        noise_t = noise_t.at[:, :, :num_p].set(
+            jnp.transpose(noise, (1, 2, 0)))
+        state = jnp.stack([jnp.asarray(q0, jnp.float32),
+                           jnp.asarray(qd0, jnp.float32)])      # [2, nv]
+        kernel = functools.partial(
+            _chain_ext_kernel, mc=mc, horizon=horizon,
+            n_substeps=n_substeps, ulow=ulow, uhigh=uhigh,
+            ext_fn=ext_fn, step_cost_fn=step_cost_fn,
+            vel_limit=vel_limit)
+        costs = pl.pallas_call(
+            kernel,
+            grid=(n_pad // tile_n,),
+            in_specs=[
+                pl.BlockSpec((2, n), lambda j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((horizon, n), lambda j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((horizon, n, tile_n), lambda j: (0, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((horizon, 1, tile_n),
+                                   lambda j: (0, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((horizon, 1, n_pad),
+                                           jnp.float32),
+            interpret=_interpret(),
+        )(state, jnp.asarray(mean, jnp.float32), noise_t)
+        return jnp.transpose(costs[:, 0, :num_p], (1, 0))
 
     return rollout

@@ -141,6 +141,10 @@ DEFAULT_SUITE = [
     # contact-rich hand suite: free quaternion object + 14 contact pairs
     # per substep through the batched points_frame path
     ("pen-v0", "mppi", 32, 1024),
+    # locomotion family through the fused drag/contact kernels
+    # (ops/pallas_chain.build_chain_ext_rollout)
+    ("Swimmer-v0", "mppi", 32, 4096),
+    ("HalfCheetah-v0", "mppi", 32, 1024),
 ]
 
 

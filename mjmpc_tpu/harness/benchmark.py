@@ -375,26 +375,32 @@ def main(argv=None):
     iters = 10 if args.quick else 50
 
     rows = []
+
+    def _run(label, fn, *a, **kw):
+        # one failing row (e.g. a kernel-compile regression on one env)
+        # must not lose the rest of the suite
+        try:
+            out = fn(*a, **kw)
+        except Exception as e:  # pragma: no cover - resilience path
+            out = dict(metric=label, value=-1, unit="error",
+                       error=f"{type(e).__name__}: {e}"[:500])
+        for row in (out if isinstance(out, list) else [out]):
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
     for env_name, controller, horizon, n in suite:
         if env_name not in envs.available():
             continue
-        row = bench_solver(env_name, controller, horizon, n, iters=iters)
-        rows.append(row)
-        print(json.dumps(row))
-    rows.append(bench_latency())
-    print(json.dumps(rows[-1]))
-    rows.append(bench_roofline(iters=iters))
-    print(json.dumps(rows[-1]))
-    for row in bench_aggregate(batches=(1, 2) if args.quick
-                               else (1, 2, 4, 8), iters=iters // 5 or 2):
-        rows.append(row)
-        print(json.dumps(row))
+        _run(f"{controller}[{env_name},H={horizon},N={n}]",
+             bench_solver, env_name, controller, horizon, n, iters=iters)
+    _run("latency", bench_latency)
+    _run("roofline", bench_roofline, iters=iters)
+    _run("aggregate", bench_aggregate,
+         batches=(1, 2) if args.quick else (1, 2, 4, 8),
+         iters=iters // 5 or 2)
     if len(jax.devices()) > 1:
-        rows.append(bench_sharded())
-        print(json.dumps(rows[-1]))
-    for row in bench_ops():
-        rows.append(row)
-        print(json.dumps(row))
+        _run("sharded", bench_sharded)
+    _run("ops", bench_ops)
 
     if args.profile:
         with jax.profiler.trace(args.profile):

@@ -23,9 +23,13 @@ family (the flagship BASELINE benchmark env). Model parameters are
 baked as compile-time constants (the dyn-randomization path keeps the
 general XLA engine).
 
-Layout: particles ride the 128-lane axis (each per-particle scalar is a
-[TILE_N] vector), bodies/joints are python-unrolled at trace time, and
-the horizon is a fori_loop whose body is one fused control step.
+Layout: particles ride a NATIVE 2-D VPU panel — each per-particle
+scalar is a [TILE_N // 128, 128] array, so every vector register uses
+all 8 sublane rows (a 1-D [N] vector occupies one sublane row per
+(8,128) vreg and caps the kernel at 1/8 of VPU throughput — the
+round-3 layout's measured ~1 TFLOP/s ceiling). Bodies/joints are
+python-unrolled at trace time, and the horizon is a fori_loop whose
+body is one fused control step.
 
 Matches `engine.chain.step` + the reacher cost to f32 tolerance
 (tests/test_pallas_chain.py runs the kernel in interpreter mode on the
@@ -42,7 +46,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE_N = 256
+# Particles per grid step. On the current remote-TPU runtime each grid
+# step pays a ~10 ms dispatch penalty (measured r4: tile=256/grid=16 ran
+# at 45.8 ms vs 2.3 ms for the same rollout at grid=1), so the default
+# covers the entire particle batch in ONE grid step; the cap only
+# bounds VMEM (noise block at H=32, nv=7, N=16384 is ~15 MB).
+_TILE_N = 16384
+_LANES = 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -51,6 +61,35 @@ def _round_up(x: int, m: int) -> int:
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _panel(num_p: int, tile_n: int):
+    """Pick the 2-D particle-panel tile (sublanes, 128) for this N.
+
+    eff_tile = sublanes * 128 particles per grid step, shrunk below
+    tile_n for small N so e.g. the reference's N=100 configs pad to 128,
+    not 1024. Returns (eff_tile, sublanes, n_pad)."""
+    eff = min(tile_n, _round_up(max(num_p, 1), _LANES))
+    return eff, eff // _LANES, _round_up(max(num_p, 1), eff)
+
+
+def _pack_lanes(x, n_pad: int):
+    """[N, H, n] particle-major input -> [H, n, n_pad//128, 128] panel
+    (particle p rides (row p // 128, lane p % 128))."""
+    num_p, horizon, n = x.shape
+    out = jnp.zeros((horizon, n, n_pad), jnp.float32)
+    out = out.at[:, :, :num_p].set(
+        jnp.transpose(jnp.asarray(x, jnp.float32), (1, 2, 0)))
+    return out.reshape(horizon, n, n_pad // _LANES, _LANES)
+
+
+def _unpack_panel(y, num_p: int):
+    """[H, d, rows, 128] kernel output -> [N, H, d] (d=1 -> [N, H])."""
+    horizon, d = y.shape[0], y.shape[1]
+    flat = y.reshape(horizon, d, -1)[:, :, :num_p]
+    if d == 1:
+        return jnp.transpose(flat[:, 0, :], (1, 0))
+    return jnp.transpose(flat, (2, 0, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -306,8 +345,11 @@ def _substep(mc, q, qd, u, fk=None, ext=None):
         damp = np.float32(mc["damping"][i])
         stiff = np.float32(mc["stiffness"][i])
         gear = np.float32(mc["gear"][i])
+        fl = np.float32(mc["frictionloss"][i])
         m_out[(i, i)] = m_out[(i, i)] + (arm + dt * damp)
         r = gear * u[i] - bias[i] - damp * qd[i] - stiff * q[i]
+        if fl != 0.0:   # smooth Coulomb friction (engine.chain.step law)
+            r = r - fl * jnp.tanh(qd[i] * np.float32(50.0))
         if ext is not None:
             r = r + ext[i]
         rhs.append(r)
@@ -340,12 +382,12 @@ def _chain_kernel(state_ref, target_ref, mean_ref, noise_ref, costs_ref,
                   *, mc, horizon: int, n_substeps: int,
                   ulow: float, uhigh: float):
     n = mc["n"]
-    width = costs_ref.shape[-1]
-    q = tuple(jnp.broadcast_to(state_ref[0, i], (width,))
+    panel = costs_ref.shape[-2:]
+    q = tuple(jnp.broadcast_to(state_ref[0, i], panel)
               for i in range(n))
-    qd = tuple(jnp.broadcast_to(state_ref[1, i], (width,))
+    qd = tuple(jnp.broadcast_to(state_ref[1, i], panel)
                for i in range(n))
-    target = [jnp.broadcast_to(target_ref[0, i], (width,))
+    target = [jnp.broadcast_to(target_ref[0, i], panel)
               for i in range(3)]
 
     def body(t, carry):
@@ -391,6 +433,7 @@ def _model_consts(model) -> dict:
         inertia=np.asarray(model.inertia, np.float32),
         armature=np.asarray(model.armature, np.float32),
         damping=np.asarray(model.damping, np.float32),
+        frictionloss=np.asarray(model.frictionloss, np.float32),
         stiffness=np.asarray(model.stiffness, np.float32),
         gear=np.asarray(model.gear, np.float32),
         qlow=np.asarray(model.qpos_low, np.float32),
@@ -417,10 +460,8 @@ def build_chain_rollout(model, n_substeps: int, ulow: float = -1.0,
 
     def rollout(q0, qd0, target, mean, noise):
         num_p, horizon = noise.shape[0], noise.shape[1]
-        n_pad = _round_up(max(num_p, 8), tile_n)
-        noise_t = jnp.zeros((horizon, n, n_pad), jnp.float32)
-        noise_t = noise_t.at[:, :, :num_p].set(
-            jnp.transpose(noise, (1, 2, 0)))
+        eff, sub, n_pad = _panel(num_p, tile_n)
+        noise_t = _pack_lanes(noise, n_pad)
         state = jnp.stack([jnp.asarray(q0, jnp.float32),
                            jnp.asarray(qd0, jnp.float32)])      # [2, nv]
         kernel = functools.partial(
@@ -428,7 +469,7 @@ def build_chain_rollout(model, n_substeps: int, ulow: float = -1.0,
             n_substeps=n_substeps, ulow=ulow, uhigh=uhigh)
         costs = pl.pallas_call(
             kernel,
-            grid=(n_pad // tile_n,),
+            grid=(n_pad // eff,),
             in_specs=[
                 pl.BlockSpec((2, n), lambda j: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -436,18 +477,19 @@ def build_chain_rollout(model, n_substeps: int, ulow: float = -1.0,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((horizon, n), lambda j: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((horizon, n, tile_n), lambda j: (0, 0, j),
+                pl.BlockSpec((horizon, n, sub, _LANES),
+                             lambda j: (0, 0, j, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((horizon, 1, tile_n),
-                                   lambda j: (0, 0, j),
+            out_specs=pl.BlockSpec((horizon, 1, sub, _LANES),
+                                   lambda j: (0, 0, j, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((horizon, 1, n_pad),
-                                           jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (horizon, 1, n_pad // _LANES, _LANES), jnp.float32),
             interpret=_interpret(),
         )(state, jnp.asarray(target, jnp.float32).reshape(1, 3),
           jnp.asarray(mean, jnp.float32), noise_t)
-        return jnp.transpose(costs[:, 0, :num_p], (1, 0))
+        return _unpack_panel(costs, num_p)
 
     return rollout
 
@@ -480,12 +522,12 @@ def _chain_cl_kernel(state_ref, extras_ref, w_ref, noise_ref,
                      n_substeps: int, ulow: float, uhigh: float,
                      d_obs: int, obs_fn, cost_fn, n_extras: int):
     n = mc["n"]
-    width = costs_ref.shape[-1]
-    q = tuple(jnp.broadcast_to(state_ref[0, i], (width,))
+    panel = costs_ref.shape[-2:]
+    q = tuple(jnp.broadcast_to(state_ref[0, i], panel)
               for i in range(n))
-    qd = tuple(jnp.broadcast_to(state_ref[1, i], (width,))
+    qd = tuple(jnp.broadcast_to(state_ref[1, i], panel)
                for i in range(n))
-    extras = [jnp.broadcast_to(extras_ref[0, i], (width,))
+    extras = [jnp.broadcast_to(extras_ref[0, i], panel)
               for i in range(n_extras)]
 
     def body(t, carry):
@@ -535,12 +577,12 @@ def _chain_obs_kernel(state_ref, extras_ref, mean_ref, noise_ref,
     per-step observation emission — the rollout for observation-hungry
     open-loop solvers (MPPIQ with a plugged Q)."""
     n = mc["n"]
-    width = costs_ref.shape[-1]
-    q = tuple(jnp.broadcast_to(state_ref[0, i], (width,))
+    panel = costs_ref.shape[-2:]
+    q = tuple(jnp.broadcast_to(state_ref[0, i], panel)
               for i in range(n))
-    qd = tuple(jnp.broadcast_to(state_ref[1, i], (width,))
+    qd = tuple(jnp.broadcast_to(state_ref[1, i], panel)
                for i in range(n))
-    extras = [jnp.broadcast_to(extras_ref[0, i], (width,))
+    extras = [jnp.broadcast_to(extras_ref[0, i], panel)
               for i in range(n_extras)]
 
     def body(t, carry):
@@ -590,10 +632,8 @@ def build_chain_obs_rollout(model, n_substeps: int, ulow: float = -1.0,
 
     def rollout(q0, qd0, extras_in, mean, noise):
         num_p, horizon = noise.shape[0], noise.shape[1]
-        n_pad = _round_up(max(num_p, 8), tile_n)
-        noise_t = jnp.zeros((horizon, n, n_pad), jnp.float32)
-        noise_t = noise_t.at[:, :, :num_p].set(
-            jnp.transpose(noise, (1, 2, 0)))
+        eff, sub, n_pad = _panel(num_p, tile_n)
+        noise_t = _pack_lanes(noise, n_pad)
         state = jnp.stack([jnp.asarray(q0, jnp.float32),
                            jnp.asarray(qd0, jnp.float32)])
         kernel = functools.partial(
@@ -603,7 +643,7 @@ def build_chain_obs_rollout(model, n_substeps: int, ulow: float = -1.0,
             n_extras=n_extras)
         costs, obs = pl.pallas_call(
             kernel,
-            grid=(n_pad // tile_n,),
+            grid=(n_pad // eff,),
             in_specs=[
                 pl.BlockSpec((2, n), lambda j: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -611,27 +651,30 @@ def build_chain_obs_rollout(model, n_substeps: int, ulow: float = -1.0,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((horizon, n), lambda j: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((horizon, n, tile_n), lambda j: (0, 0, j),
+                pl.BlockSpec((horizon, n, sub, _LANES),
+                             lambda j: (0, 0, j, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((horizon, 1, tile_n), lambda j: (0, 0, j),
+                pl.BlockSpec((horizon, 1, sub, _LANES),
+                             lambda j: (0, 0, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((horizon, d_obs, tile_n),
-                             lambda j: (0, 0, j),
+                pl.BlockSpec((horizon, d_obs, sub, _LANES),
+                             lambda j: (0, 0, j, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((horizon, 1, n_pad), jnp.float32),
-                jax.ShapeDtypeStruct((horizon, d_obs, n_pad),
-                                     jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (horizon, 1, n_pad // _LANES, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (horizon, d_obs, n_pad // _LANES, _LANES),
+                    jnp.float32),
             ],
             interpret=_interpret(),
         )(state,
           jnp.asarray(extras_in, jnp.float32).reshape(1, n_extras),
           jnp.asarray(mean, jnp.float32), noise_t)
-        return (jnp.transpose(obs[:, :, :num_p], (2, 0, 1)),
-                jnp.transpose(costs[:, 0, :num_p], (1, 0)))
+        return _unpack_panel(obs, num_p), _unpack_panel(costs, num_p)
 
     return rollout
 
@@ -662,10 +705,8 @@ def build_chain_cl_rollout(model, n_substeps: int, ulow: float = -1.0,
 
     def rollout(q0, qd0, extras_in, weights, noise):
         num_p, horizon = noise.shape[0], noise.shape[1]
-        n_pad = _round_up(max(num_p, 8), tile_n)
-        noise_t = jnp.zeros((horizon, n, n_pad), jnp.float32)
-        noise_t = noise_t.at[:, :, :num_p].set(
-            jnp.transpose(noise, (1, 2, 0)))
+        eff, sub, n_pad = _panel(num_p, tile_n)
+        noise_t = _pack_lanes(noise, n_pad)
         state = jnp.stack([jnp.asarray(q0, jnp.float32),
                            jnp.asarray(qd0, jnp.float32)])      # [2, nv]
         kernel = functools.partial(
@@ -675,7 +716,7 @@ def build_chain_cl_rollout(model, n_substeps: int, ulow: float = -1.0,
             n_extras=n_extras)
         costs, obs, acts = pl.pallas_call(
             kernel,
-            grid=(n_pad // tile_n,),
+            grid=(n_pad // eff,),
             in_specs=[
                 pl.BlockSpec((2, n), lambda j: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -683,31 +724,36 @@ def build_chain_cl_rollout(model, n_substeps: int, ulow: float = -1.0,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((d_obs + 1, n), lambda j: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((horizon, n, tile_n), lambda j: (0, 0, j),
+                pl.BlockSpec((horizon, n, sub, _LANES),
+                             lambda j: (0, 0, j, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((horizon, 1, tile_n), lambda j: (0, 0, j),
+                pl.BlockSpec((horizon, 1, sub, _LANES),
+                             lambda j: (0, 0, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((horizon, d_obs, tile_n),
-                             lambda j: (0, 0, j),
+                pl.BlockSpec((horizon, d_obs, sub, _LANES),
+                             lambda j: (0, 0, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((horizon, n, tile_n), lambda j: (0, 0, j),
+                pl.BlockSpec((horizon, n, sub, _LANES),
+                             lambda j: (0, 0, j, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((horizon, 1, n_pad), jnp.float32),
-                jax.ShapeDtypeStruct((horizon, d_obs, n_pad),
-                                     jnp.float32),
-                jax.ShapeDtypeStruct((horizon, n, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (horizon, 1, n_pad // _LANES, _LANES), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (horizon, d_obs, n_pad // _LANES, _LANES),
+                    jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (horizon, n, n_pad // _LANES, _LANES), jnp.float32),
             ],
             interpret=_interpret(),
         )(state,
           jnp.asarray(extras_in, jnp.float32).reshape(1, n_extras),
           jnp.asarray(weights, jnp.float32), noise_t)
-        return (jnp.transpose(obs[:, :, :num_p], (2, 0, 1)),
-                jnp.transpose(acts[:, :, :num_p], (2, 0, 1)),
-                jnp.transpose(costs[:, 0, :num_p], (1, 0)))
+        return (_unpack_panel(obs, num_p), _unpack_panel(acts, num_p),
+                _unpack_panel(costs, num_p))
 
     return rollout
 
@@ -817,10 +863,10 @@ def _chain_ext_kernel(state_ref, mean_ref, noise_ref, costs_ref, *, mc,
                       horizon: int, n_substeps: int, ulow: float,
                       uhigh: float, ext_fn, step_cost_fn, vel_limit):
     n = mc["n"]
-    width = costs_ref.shape[-1]
-    q = tuple(jnp.broadcast_to(state_ref[0, i], (width,))
+    panel = costs_ref.shape[-2:]
+    q = tuple(jnp.broadcast_to(state_ref[0, i], panel)
               for i in range(n))
-    qd = tuple(jnp.broadcast_to(state_ref[1, i], (width,))
+    qd = tuple(jnp.broadcast_to(state_ref[1, i], panel)
                for i in range(n))
 
     def body(t, carry):
@@ -879,10 +925,8 @@ def build_chain_ext_rollout(model, n_substeps: int, ext_fn=None,
 
     def rollout(q0, qd0, mean, noise):
         num_p, horizon = noise.shape[0], noise.shape[1]
-        n_pad = _round_up(max(num_p, 8), tile_n)
-        noise_t = jnp.zeros((horizon, n, n_pad), jnp.float32)
-        noise_t = noise_t.at[:, :, :num_p].set(
-            jnp.transpose(noise, (1, 2, 0)))
+        eff, sub, n_pad = _panel(num_p, tile_n)
+        noise_t = _pack_lanes(noise, n_pad)
         state = jnp.stack([jnp.asarray(q0, jnp.float32),
                            jnp.asarray(qd0, jnp.float32)])      # [2, nv]
         kernel = functools.partial(
@@ -892,22 +936,23 @@ def build_chain_ext_rollout(model, n_substeps: int, ext_fn=None,
             vel_limit=vel_limit)
         costs = pl.pallas_call(
             kernel,
-            grid=(n_pad // tile_n,),
+            grid=(n_pad // eff,),
             in_specs=[
                 pl.BlockSpec((2, n), lambda j: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((horizon, n), lambda j: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((horizon, n, tile_n), lambda j: (0, 0, j),
+                pl.BlockSpec((horizon, n, sub, _LANES),
+                             lambda j: (0, 0, j, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((horizon, 1, tile_n),
-                                   lambda j: (0, 0, j),
+            out_specs=pl.BlockSpec((horizon, 1, sub, _LANES),
+                                   lambda j: (0, 0, j, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((horizon, 1, n_pad),
-                                           jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (horizon, 1, n_pad // _LANES, _LANES), jnp.float32),
             interpret=_interpret(),
         )(state, jnp.asarray(mean, jnp.float32), noise_t)
-        return jnp.transpose(costs[:, 0, :num_p], (1, 0))
+        return _unpack_panel(costs, num_p)
 
     return rollout

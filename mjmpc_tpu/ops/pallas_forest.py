@@ -62,8 +62,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_chain import (_TILE_N, _const_vec, _interpret, _mm, _mtv,
-                           _mv, _rodrigues, _round_up, _vadd, _vcross,
+from .pallas_chain import (_LANES, _TILE_N, _const_vec, _interpret, _mm,
+                           _mtv, _mv, _pack_lanes, _panel, _rodrigues,
+                           _round_up, _unpack_panel, _vadd, _vcross,
                            _vdot, _vscale, _vsub, _world_inertia)
 
 # ---------------------------------------------------------------------------
@@ -233,6 +234,7 @@ def _forest_consts(model) -> dict:
         inertia=np.asarray(model.inertia, np.float32),
         armature=np.asarray(model.armature, np.float32),
         damping=np.asarray(model.damping, np.float32),
+        frictionloss=np.asarray(model.frictionloss, np.float32),
         stiffness=np.asarray(model.stiffness, np.float32),
         gear=np.asarray(model.gear, np.float32),
         qlow=np.asarray(model.qpos_low, np.float32),
@@ -523,9 +525,12 @@ def _substep(mc, q, qd, u, force_fn, extras, joint_torque_fn=None):
             damp = np.float32(mc["damping"][vi])
             stiff = np.float32(mc["stiffness"][vi])
             gear = np.float32(mc["gear"][vi])
+            fl = np.float32(mc["frictionloss"][vi])
             m_out[(i, i)] = m_out[(i, i)] + (arm + dt * damp)
             rhs[i] = (gear * u.get(i, np.float32(0.0)) - bias[i]
                       - damp * qd[i] - stiff * q[i] + tau_scal[i])
+            if fl != 0.0:   # smooth Coulomb (engine.chain.step law)
+                rhs[i] = rhs[i] - fl * jnp.tanh(qd[i] * np.float32(50.0))
         anc = {i: _ancestor_dofs(mc, i)[:-1] for i in tree}
         acc = _tree_chol_solve(tree, m_out, rhs, anc)
         for i in tree:
@@ -652,10 +657,10 @@ def build_forest_rollout(model, n_substeps: int, act_bodies: Sequence[int],
     d_act = len(act_bodies)
 
     def kernel(state_ref, mean_ref, noise_ref, costs_ref):
-        width = costs_ref.shape[-1]
+        panel = costs_ref.shape[-2:]
 
         def bc(x):
-            return jnp.broadcast_to(x, (width,))
+            return jnp.broadcast_to(x, panel)
 
         q, qd = {}, {}
         for i in range(mc["n"]):
@@ -722,10 +727,8 @@ def build_forest_rollout(model, n_substeps: int, act_bodies: Sequence[int],
 
     def rollout(qpos, qvel, extras, mean, noise):
         num_p, horizon = noise.shape[0], noise.shape[1]
-        n_pad = _round_up(max(num_p, 8), tile_n)
-        noise_t = jnp.zeros((horizon, d_act, n_pad), jnp.float32)
-        noise_t = noise_t.at[:, :, :num_p].set(
-            jnp.transpose(noise, (1, 2, 0)))
+        eff, sub, n_pad = _panel(num_p, tile_n)
+        noise_t = _pack_lanes(noise, n_pad)
         width = max(nq, nv, n_extras)
         state = jnp.zeros((3, width), jnp.float32)
         state = state.at[0, :nq].set(jnp.asarray(qpos, jnp.float32))
@@ -735,22 +738,23 @@ def build_forest_rollout(model, n_substeps: int, act_bodies: Sequence[int],
                 jnp.asarray(extras, jnp.float32))
         costs = pl.pallas_call(
             kernel,
-            grid=(n_pad // tile_n,),
+            grid=(n_pad // eff,),
             in_specs=[
                 pl.BlockSpec((3, width), lambda j: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((horizon, d_act), lambda j: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((horizon, d_act, tile_n), lambda j: (0, 0, j),
+                pl.BlockSpec((horizon, d_act, sub, _LANES),
+                             lambda j: (0, 0, j, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((horizon, 1, tile_n),
-                                   lambda j: (0, 0, j),
+            out_specs=pl.BlockSpec((horizon, 1, sub, _LANES),
+                                   lambda j: (0, 0, j, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((horizon, 1, n_pad),
-                                           jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (horizon, 1, n_pad // _LANES, _LANES), jnp.float32),
             interpret=_interpret(),
         )(state, jnp.asarray(mean, jnp.float32), noise_t)
-        return jnp.transpose(costs[:, 0, :num_p], (1, 0))
+        return _unpack_panel(costs, num_p)
 
     return rollout

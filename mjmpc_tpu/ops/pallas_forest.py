@@ -658,9 +658,19 @@ def build_forest_rollout(model, n_substeps: int, act_bodies: Sequence[int],
 
     def kernel(state_ref, mean_ref, noise_ref, costs_ref):
         panel = costs_ref.shape[-2:]
+        # zero term with a materialized (non-replicated) vector layout:
+        # fori_loop carries seeded from bare broadcasts get a REPLICATED
+        # Mosaic layout, and the back-edge relayout from the loop body's
+        # computed (non-replicated) values is invalid ("Non-singleton
+        # logical dimension is replicated in destination but not in
+        # source"). Adding 0*iota forces the carry layout up front.
+        zero_mat = 0.0 * (
+            jax.lax.broadcasted_iota(jnp.int32, panel, 0)
+            + jax.lax.broadcasted_iota(jnp.int32, panel, 1)
+        ).astype(jnp.float32)
 
         def bc(x):
-            return jnp.broadcast_to(x, panel)
+            return jnp.broadcast_to(x, panel) + zero_mat
 
         q, qd = {}, {}
         for i in range(mc["n"]):

@@ -89,6 +89,8 @@ class ChainModel:
     inertia: jax.Array      # [n, 3, 3] about COM, body frame
     armature: jax.Array     # [nv] rotor inertia added to M diagonal
     damping: jax.Array      # [nv] viscous joint damping
+    frictionloss: jax.Array  # [nv] Coulomb joint friction torque
+                             # (MuJoCo dof_frictionloss; smooth tanh law)
     stiffness: jax.Array    # [nv] joint spring stiffness (rest at q = 0,
                             # scalar joints only)
     gear: jax.Array         # [nv] actuator torque scaling
@@ -590,6 +592,7 @@ def step(model: ChainModel, q: jax.Array, qd: jax.Array, ctrl: jax.Array,
         m = mass_matrix(model, q)
         m = m + jnp.diag(model.armature + model.dt * model.damping)
         rhs = (tau - bias_forces(model, q, qd) - model.damping * qd
+               - model.frictionloss * jnp.tanh(qd / 0.02)
                + _scalar_stiffness_force(model, q))
         if ext_force_fn is not None:
             rhs = rhs + ext_force_fn(model, q, qd)
@@ -699,7 +702,7 @@ def build_chain(bodies: Sequence[dict], dt: float, site_body: int,
             inertia[i] = 1e-9 * np.eye(3)
 
     types = tuple(b.get("type", "hinge") for b in bodies)
-    armature, damping, stiffness, gear = [], [], [], []
+    armature, damping, stiffness, gear, floss = [], [], [], [], []
     qlow, qhigh = [], []
     for i, b in enumerate(bodies):
         nvi, nqi = _JOINT_NV[types[i]], _JOINT_NQ[types[i]]
@@ -707,6 +710,7 @@ def build_chain(bodies: Sequence[dict], dt: float, site_body: int,
         damping += [b.get("damping", 0.0)] * nvi
         stiffness += [b.get("stiffness", 0.0)] * nvi
         gear += [b.get("gear", 1.0)] * nvi
+        floss += [b.get("frictionloss", 0.0)] * nvi
         if types[i] in ("hinge", "slide"):
             lo, hi = b["range"]
             qlow.append(lo)
@@ -721,6 +725,7 @@ def build_chain(bodies: Sequence[dict], dt: float, site_body: int,
         body_pos=f32([b["pos"] for b in bodies]),
         mass=f32(mass), com=f32(com), inertia=f32(inertia),
         armature=f32(armature), damping=f32(damping),
+        frictionloss=f32(floss),
         stiffness=f32(stiffness), gear=f32(gear),
         qpos_low=f32(qlow), qpos_high=f32(qhigh),
         gravity=f32(gravity),

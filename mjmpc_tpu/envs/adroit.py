@@ -1,12 +1,15 @@
-"""Adroit-style five-digit dexterous hand for the hand-manipulation suite.
+"""Adroit-scale five-digit dexterous hand for the hand-manipulation suite.
 
 The reference's pen/relocate/hammer/door run on the external mj_envs
 24-DOF Adroit Shadow Hand (README.md:33-35, examples/configs/hand/
 pen-v0.yml "In-hand manipulation of a 6-DOF pen with a 24-DOF Shadow
 Hand"). This module provides the TPU-native counterpart used by those
-tasks: a FIVE-digit hand — four fingers + an opposing thumb-like digit —
-with 4 hinge DOF per digit (abduction + three phalanx curls), 20
-actuated DOF total, whose fingertips manipulate FREE (quaternion-state)
+tasks, matching Adroit's 24-hinge-DOF budget with the Shadow Hand's
+allocation: a 2-DOF wrist (flexion about x + deviation about y, shared
+root of all digits), three 4-DOF fingers (abduction + three phalanx
+curls), a 5-DOF little finger (extra metacarpal curl — Shadow LFJ4),
+and a 5-DOF thumb (extra opposition roll about y — Shadow THJ4).
+24 actuated DOF total; fingertips manipulate FREE (quaternion-state)
 objects through the compliant contact model in `envs/contact.py` —
 actions actuate hand joints only, never the object.
 
@@ -14,18 +17,14 @@ Digit layout (palm plane z = 0, objects rest on / above the palm): four
 fingers at (±x_spread, ±y_spread, height) plus the thumb at
 (0, -y_spread), segments pointing down and inward so digits on +y
 oppose digits on -y like finger/thumb pinch pairs. Abduction (about z)
-slides a fingertip along x; the three curls (about x) close the pinch
-in the y-z plane — the extra phalanx over round-2's 3-DOF digits deepens
-the reachable envelope enough for the full mj_envs ±1 rad pen
-orientation targets (envs/pen.py). Segment geometry is a parameter:
-the pen hand uses long manipulation segments, the arm-mounted grip hand
+slides a fingertip along x; the curls (about x) close the pinch in the
+y-z plane; the wrist tilts the whole digit array about the palm anchor.
+EVERY added joint is zero at neutral, so the resting tip ring — and
+with it the tuned grasp geometry of every hand task — is byte-identical
+to the 20-DOF layout's. Segment geometry is a parameter: the pen hand
+uses long manipulation segments, the arm-mounted grip hand
 (relocate/hammer/door) short cage segments whose neutral tip ring
 matches the tuned round-2 grasp cage exactly.
-
-The hand remains smaller than Adroit's 24 hinge DOF (20 vs 24; Adroit
-adds 2 wrist DOF and a 5-DOF thumb) but is now in the reference's
-morphology class: five digits, per-phalanx articulation, free rigid
-objects under gravity actuated only through frictional contact.
 """
 from __future__ import annotations
 
@@ -48,9 +47,31 @@ TIP_R = 0.009
 _SEG_R = 0.008
 
 N_DIGITS = 5
-DOF_PER_DIGIT = 4                        # abduction + 3 curls
-BODIES_PER_DIGIT = DOF_PER_DIGIT         # one body per hinge
-N_HAND_DOF = N_DIGITS * DOF_PER_DIGIT    # 20
+# Shadow-Hand DOF allocation (mj_envs Adroit): FF/MF/RF = 4, LF = 5
+# (metacarpal), TH = 5 (opposition roll). Digit order here: the four
+# fingers (+x+y, -x+y, +x-y, -x-y) then the thumb at (0, -y).
+DIGIT_DOFS = (4, 4, 4, 5, 5)
+N_WRIST_DOF = 2                          # flexion (x) + deviation (y)
+N_HAND_DOF = N_WRIST_DOF + sum(DIGIT_DOFS)   # 24 — Adroit's count
+N_HAND_BODIES = N_HAND_DOF               # one body per hinge
+
+# DOF-layout helpers (hand-local indices; also valid as body indices
+# within the hand since every hinge owns one body)
+DIGIT_STARTS = tuple(
+    N_WRIST_DOF + sum(DIGIT_DOFS[:d]) for d in range(N_DIGITS))
+
+
+def digit_abduct_index(d: int) -> int:
+    """Hand-local index of digit d's abduction joint."""
+    return DIGIT_STARTS[d]
+
+
+def digit_curl_indices(d: int):
+    """Hand-local indices of digit d's three phalanx curls (always the
+    last three joints of the digit, after abduction and any extra
+    metacarpal/opposition joint)."""
+    start, ndof = DIGIT_STARTS[d], DIGIT_DOFS[d]
+    return list(range(start + ndof - 3, start + ndof))
 
 # Grip-hand (relocate/hammer/door) segments: total reach (0.034 inward,
 # 0.053 down) — identical to the tuned round-2 cage, so the neutral tip
@@ -78,30 +99,61 @@ def hand_bodies(parent: int = -1,
                 = None,
                 gear: float = 0.4, damping: float = 0.08,
                 armature: float = 0.01,
-                segments: Sequence[Tuple[float, float]] = SEGS_PEN
-                ) -> Tuple[list, list]:
-    """Body dicts for the hand plus per-digit contact metadata.
+                segments: Sequence[Tuple[float, float]] = SEGS_PEN,
+                wrist_gear: float = 1.5, wrist_damping: float = 0.5,
+                wrist_armature: float = 0.05) -> Tuple[list, list]:
+    """Body dicts for the 24-DOF hand plus per-digit contact metadata.
+
+    Layout: a 2-DOF wrist gimbal (flexion about x, deviation about y)
+    anchored at the palm center (0, 0, base z), from which all five
+    digits hang; three 4-DOF fingers, a 5-DOF little finger (extra
+    metacarpal curl), a 5-DOF thumb (extra opposition roll). All added
+    joints are zero at neutral, so the resting tip ring matches the
+    wrist-less 20-DOF layout exactly.
 
     Returns (bodies, digits) where each digits entry is
     (distal_body_index, tip_local [3], mid_local [3]) — the two contact
-    spheres per digit fed to `engine.chain.points_frame`. Knuckle dicts
-    carry a `mount=True` marker; intra-hand parent indices are local
-    (relative to the start of the returned list). Callers embedding the
-    hand at a nonzero index base must offset the local parents and
-    re-parent the marked knuckles (see `arm_hand_bodies`) — the marker,
-    not the parent VALUE, distinguishes knuckles, so a digit layout
+    spheres per digit fed to `engine.chain.points_frame`. The wrist root
+    dict carries a `mount=True` marker; intra-hand parent indices are
+    local (relative to the start of the returned list). Callers
+    embedding the hand at a nonzero index base must offset the local
+    parents and re-parent the marked root (see `arm_hand_bodies`) — the
+    marker, not the parent VALUE, distinguishes the mount, so a layout
     whose local indices happen to collide with the mount index cannot
     silently build a wrong topology.
     """
     bodies: list = []
     digits: list = []
     segs = list(segments)
-    for (bx, by, bz, s) in bases or digit_bases():
-        k = len(bodies)
+    bases = list(bases or digit_bases())
+    anchor_z = bases[0][2]
+    # 2-DOF wrist gimbal at the palm anchor; flexion tips the digit
+    # array toward ±y (the pinch plane), deviation sweeps it along x
+    bodies.append(dict(
+        pos=(0.0, 0.0, anchor_z), axis=(1, 0, 0), range=(-0.45, 0.45),
+        parent=parent, mount=True, gear=wrist_gear,
+        damping=wrist_damping, armature=wrist_armature, geoms=[]))
+    bodies.append(dict(
+        pos=(0.0, 0.0, 0.0), axis=(0, 1, 0), range=(-0.45, 0.45),
+        parent=0, gear=wrist_gear, damping=wrist_damping,
+        armature=wrist_armature, geoms=[]))
+    for d, (bx, by, bz, s) in enumerate(bases):
+        thumb = d == len(bases) - 1
         bodies.append(dict(
-            pos=(bx, by, bz), axis=(0, 0, 1), range=(-0.45, 0.45),
-            parent=parent, mount=True, gear=gear, damping=damping,
+            pos=(bx, by, bz - anchor_z), axis=(0, 0, 1),
+            range=(-0.45, 0.45), parent=1, gear=gear, damping=damping,
             armature=armature, geoms=[]))
+        prev = len(bodies) - 1
+        if DIGIT_DOFS[d] == 5:
+            # thumb: opposition roll about y (Shadow THJ4); little
+            # finger: metacarpal curl about x (Shadow LFJ4)
+            bodies.append(dict(
+                pos=(0.0, 0.0, 0.0),
+                axis=(0, 1, 0) if thumb else (1, 0, 0),
+                range=(-0.6, 0.6) if thumb else (-0.2, 0.7),
+                parent=prev, gear=gear, damping=damping,
+                armature=armature, geoms=[]))
+            prev = len(bodies) - 1
         # phalanx chain: each link hinges about x at the previous link's
         # endpoint, its capsule reaching (inward, down) = (-s*dy, -dz)
         prev_end = (0.0, 0.0, 0.0)
@@ -112,11 +164,12 @@ def hand_bodies(parent: int = -1,
                 geoms.append(rb.sphere_geom(TIP_R, (0, -s * dy, -dz)))
             bodies.append(dict(
                 pos=prev_end, axis=(1, 0, 0), range=(-1.3, 1.3),
-                parent=k + j, gear=gear, damping=damping,
+                parent=prev, gear=gear, damping=damping,
                 armature=armature, geoms=geoms))
+            prev = len(bodies) - 1
             prev_end = (0.0, -s * dy, -dz)
         dy, dz = segs[-1]
-        digits.append((k + len(segs),
+        digits.append((prev,
                        np.array([0.0, -s * dy, -dz], np.float32),
                        np.array([0.0, -s * dy / 2, -dz / 2], np.float32)))
     return bodies, digits
@@ -142,16 +195,22 @@ def arm_hand_bodies(bases=None, arm_gear: float = 8.0,
               for i, ax in enumerate(slide_axes)]
     hand, digits = hand_bodies(parent=2, bases=bases, segments=SEGS_GRIP)
     for b in hand:
-        if not b.pop("mount", False):   # knuckles keep the mount parent;
-            b["parent"] += 3            # local digit links shift past the arm
+        if not b.pop("mount", False):   # the wrist root keeps the mount
+            b["parent"] += 3            # parent; local hand indices
+                                        # shift past the arm
     bodies += hand
     return bodies, [(b + 3, tip, mid) for (b, tip, mid) in digits]
 
 
 def hand_joint_names() -> List[str]:
-    """MuJoCo-style joint names for the dyn-randomize name tables."""
-    names = []
+    """MuJoCo-style joint names for the dyn-randomize name tables, in
+    body/DOF order (wrist pair first, then digits)."""
+    names = ["wrist_flex", "wrist_dev"]
     for d in range(N_DIGITS):
-        names += [f"digit{d}_abduct", f"digit{d}_proximal",
-                  f"digit{d}_middle", f"digit{d}_distal"]
+        names.append(f"digit{d}_abduct")
+        if DIGIT_DOFS[d] == 5:
+            names.append(f"digit{d}_opp" if d == N_DIGITS - 1
+                         else f"digit{d}_meta")
+        names += [f"digit{d}_proximal", f"digit{d}_middle",
+                  f"digit{d}_distal"]
     return names

@@ -205,3 +205,13 @@ def make() -> Env:
         action_highs=np.full(6, 1.0, np.float32),
         params=params, init=_init, step=_step, observe=_observe,
         max_episode_steps=500, fused_rollout=_build_fused(params))
+
+
+from .randomize import register_param_paths as _register_param_paths  # noqa: E402
+
+# the ground-contact friction coefficient is a params leaf — the
+# geom_friction dyn-randomize axis maps straight onto it (reference
+# gym_env_wrapper.py:392-396; fused planning against a perturbed mu
+# needs fused=False, the kernel bakes contact gains)
+_register_param_paths("HalfCheetah-v0",
+                      {"geom_friction": {"floor": "mu", "ground": "mu"}})

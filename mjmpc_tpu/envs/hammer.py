@@ -32,7 +32,7 @@ from .base import Env
 _DT = 0.002
 _FRAME_SKIP = 5
 _N_ARM = 3
-_HAMMER_BODY = _N_ARM + adroit.N_DIGITS * adroit.BODIES_PER_DIGIT   # 23
+_HAMMER_BODY = _N_ARM + adroit.N_HAND_BODIES   # body index 27
 _NAIL_BODY = _HAMMER_BODY + 1                  # 24
 _HAMMER_Q = _N_ARM + adroit.N_HAND_DOF         # qpos 23..29, qvel 23..28
 _NAIL_Q = _HAMMER_Q + 7                        # qpos 30 (last)
@@ -184,7 +184,7 @@ def _observe(params: HammerParams, state: HammerState) -> jax.Array:
         hammer, state.qvel[_HAMMER_Q:_HAMMER_Q + 3],
         head, nail, palm - hammer, head - nail,
         state.qpos[_NAIL_Q:_NAIL_Q + 1]])
-    # 49-dim
+    # 73-dim
 
 
 def _step(params: HammerParams, state: HammerState, action: jax.Array):
@@ -305,7 +305,7 @@ def _build_fused_rollout(model: rb.ChainModel):
 def make() -> Env:
     params = HammerParams(model=build_model(), kp=jnp.float32(800.0),
                           kd=jnp.float32(2.0), mu=jnp.float32(1.2))
-    return Env(name="hammer-v0", d_obs=65, d_action=_N_ACT,
+    return Env(name="hammer-v0", d_obs=2 * _N_ACT + 19, d_action=_N_ACT,
                action_lows=np.full(_N_ACT, -1.0, np.float32),
                action_highs=np.full(_N_ACT, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,

@@ -4,7 +4,7 @@ The reference's door-v0 is the mj_envs Adroit task — the hand undoes a
 latch and swings the door open; success when the door hinge passes 1.35
 rad (README.md:33-35, examples/configs/hand/door-v0.yml). Round 1
 aliased this family to sawyer_door; this module is the hand-actuated
-rebuild on the 3-slide arm + 20-DOF five-digit hand (`envs/adroit.py`),
+rebuild on the 3-slide arm + 24-DOF five-digit hand (`envs/adroit.py`),
 matching the Adroit task structure:
 
 - the DOOR is a vertical-axis hinge body, spring-loaded shut and BLOCKED
@@ -36,7 +36,7 @@ from .base import Env
 _DT = 0.002
 _FRAME_SKIP = 5
 _N_ARM = 3
-_DOOR_BODY = _N_ARM + adroit.N_DIGITS * adroit.BODIES_PER_DIGIT   # 23
+_DOOR_BODY = _N_ARM + adroit.N_HAND_BODIES   # body index 27
 _LATCH_BODY = _DOOR_BODY + 1                   # 24
 _DOOR_Q = _N_ARM + adroit.N_HAND_DOF           # 23
 _LATCH_Q = _DOOR_Q + 1                         # 24
@@ -176,7 +176,7 @@ def _observe(params: DoorParams, state: DoorState) -> jax.Array:
         handle, palm - handle,
         state.qpos[_DOOR_Q:_LATCH_Q + 1],
         state.qvel[_DOOR_Q:_LATCH_Q + 1]])
-    # 40-dim
+    # 64-dim
 
 
 def _step(params: DoorParams, state: DoorState, action: jax.Array):
@@ -293,7 +293,7 @@ def make() -> Env:
     model = build_model()
     params = DoorParams(model=model, kp=jnp.float32(800.0),
                         kd=jnp.float32(2.0), mu=jnp.float32(1.2))
-    return Env(name="door-v0", d_obs=56, d_action=_N_ACT,
+    return Env(name="door-v0", d_obs=2 * _N_ACT + 10, d_action=_N_ACT,
                action_lows=np.full(_N_ACT, -1.0, np.float32),
                action_highs=np.full(_N_ACT, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,

@@ -1,13 +1,14 @@
-"""pen-v0: in-hand pen reorientation with a four-digit dexterous hand.
+"""pen-v0: in-hand pen reorientation with the 24-DOF dexterous hand.
 
 The reference's pen-v0 is the mj_envs Adroit task: a free 6-DOF pen held
 by a multi-DOF hand, reward = orientation similarity between the pen's
 long axis and a sampled target axis plus a position term, success when
 the similarity exceeds 0.90 (README.md:33-35,
 examples/configs/hand/pen-v0.yml "In-hand manipulation of a 6-DOF pen
-with a 24-DOF Shadow Hand"). Here the hand is the 20-DOF five-digit
-Adroit counterpart (`envs/adroit.py`: four fingers + opposing thumb,
-4 hinge DOF each) and the pen is a genuine FREE body — 7 qpos (position
+with a 24-DOF Shadow Hand"). Here the hand is the 24-DOF five-digit
+Adroit counterpart (`envs/adroit.py`: 2-DOF wrist, three 4-DOF
+fingers, 5-DOF little finger, 5-DOF thumb — the Shadow Hand's exact
+DOF allocation) and the pen is a genuine FREE body — 7 qpos (position
 + unit quaternion), 6 qvel — manipulated only through frictional
 fingertip/palm contact: actions actuate hand joints exclusively. The
 desired-orientation envelope is the FULL mj_envs range, ±1 rad on both
@@ -15,8 +16,8 @@ yaw and pitch: the pen rests on a raised cradle ridge (center z =
 0.072) high enough that a ±1 rad pitch keeps both ends above the palm
 plane, and the deeper 3-phalanx digits reach the steeply-pitched ends.
 
-One kinematic forest, one jitted program: 20 hinge DOF (hand) + 1 free
-joint (pen) => nq = 27, nv = 26; contact is 10 finger spheres vs the
+One kinematic forest, one jitted program: 24 hinge DOF (hand) + 1 free
+joint (pen) => nq = 31, nv = 30; contact is 10 finger spheres vs the
 pen capsule, the palm plane, and the static cradle ridge the pen
 see-saws on (pitch authority), all through one batched `points_frame`
 pass per substep.
@@ -38,7 +39,7 @@ _DT = 0.002
 _FRAME_SKIP = 5          # control dt 10 ms, mj_envs Adroit semantics
 _PEN_R = 0.012
 _PEN_HL = 0.065          # half-length
-_PEN_BODY = adroit.N_DIGITS * adroit.BODIES_PER_DIGIT    # body index 20
+_PEN_BODY = adroit.N_HAND_BODIES         # body index 24
 _PEN_Q = adroit.N_HAND_DOF               # qpos offset 20, qvel offset 20
 
 # Static palm cradle: a ridge capsule across y at x=0 — the pen see-saws
@@ -61,11 +62,13 @@ class PenParams(NamedTuple):
     kp: jax.Array
     kd: jax.Array
     mu: jax.Array
+    pen_r: jax.Array    # pen capsule radius — the geom_size dyn-
+                        # randomize leaf (contact only; inertia is baked)
 
 
 class PenState(NamedTuple):
-    qpos: jax.Array      # [19] = 12 hand hinges + pen (pos3, quat4)
-    qvel: jax.Array      # [18]
+    qpos: jax.Array      # [31] = 24 hand hinges + pen (pos3, quat4)
+    qvel: jax.Array      # [30]
     desired: jax.Array   # [3] unit target axis for the pen's long axis
     timestep: jax.Array
 
@@ -107,13 +110,13 @@ def _ext_forces(params: PenParams):
         cap_a, cap_b = pos[n_tips], pos[n_tips + 1]
         vcap_a, vcap_b = vel[n_tips], vel[n_tips + 1]
         forces = []
-        f_cap_a = contact.sphere_plane_force(cap_a, vcap_a, _PEN_R,
+        f_cap_a = contact.sphere_plane_force(cap_a, vcap_a, params.pen_r,
                                              params.kp, params.kd, params.mu)
-        f_cap_b = contact.sphere_plane_force(cap_b, vcap_b, _PEN_R,
+        f_cap_b = contact.sphere_plane_force(cap_b, vcap_b, params.pen_r,
                                              params.kp, params.kd, params.mu)
         # pen on the static cradle ridge
         f_ridge, sr = contact.capsule_capsule_force(
-            cap_a, cap_b, vcap_a, vcap_b, _PEN_R,
+            cap_a, cap_b, vcap_a, vcap_b, params.pen_r,
             jnp.asarray(_RIDGE_A), jnp.asarray(_RIDGE_B), _RIDGE_R,
             params.kp, params.kd, params.mu)
         f_cap_a = f_cap_a + (1.0 - sr) * f_ridge
@@ -121,7 +124,7 @@ def _ext_forces(params: PenParams):
         for k in range(2 * adroit.N_DIGITS):
             f_pen, t = contact.sphere_segment_force(
                 pos[k], vel[k], _C_RADII[k], cap_a, cap_b, vcap_a, vcap_b,
-                _PEN_R, params.kp, params.kd, params.mu)
+                params.pen_r, params.kp, params.kd, params.mu)
             # ONLY the finger-pen force reacts onto the pen; the palm
             # plane's push on the finger must not (the ground's reaction
             # belongs to the ground, not the free object).
@@ -174,8 +177,8 @@ def _observe(params: PenParams, state: PenState) -> jax.Array:
         state.qpos[:adroit.N_HAND_DOF], state.qvel[:adroit.N_HAND_DOF],
         pen_pos, lin_vel, axis, ang_vel, state.desired,
         axis - state.desired, pen_pos - jnp.asarray(_DESIRED_POS)])
-    # 61-dim: 20 qpos + 20 qvel + 21 object/target features (the mj_envs
-    # pen obs is 45 with its 24-DOF hand emitting qpos only)
+    # 69-dim: 24 qpos + 24 qvel + 21 object/target features (the mj_envs
+    # pen obs is 45 with the 24-DOF hand emitting qpos only)
 
 
 def _step(params: PenParams, state: PenState, action: jax.Array):
@@ -208,8 +211,8 @@ def _success(params: PenParams, state: PenState) -> jax.Array:
 
 def _build_fused_rollout(model: rb.ChainModel):
     """Fused Pallas rollout for pen-v0 (ops/pallas_forest.py): the whole
-    N-particle H-step contact rollout — five 4-DOF digit trees, the free
-    quaternion pen, the 14-pair contact assembly of `_ext_forces`, and
+    N-particle H-step contact rollout — the wrist-rooted 24-DOF hand tree,
+    the free quaternion pen, the 14-pair contact assembly of `_ext_forces`, and
     the pen cost — in ONE kernel. The XLA path materializes every
     per-particle FK/contact intermediate in HBM (and at 21 bodies the
     episode-scale program overwhelms the remote TPU worker); the kernel
@@ -294,9 +297,10 @@ def make() -> Env:
     # stable with bounded chatter — see tests/test_hand_suite.py).
     model = build_model()
     params = PenParams(model=model, kp=jnp.float32(800.0),
-                       kd=jnp.float32(2.0), mu=jnp.float32(1.2))
+                       kd=jnp.float32(2.0), mu=jnp.float32(1.2),
+                       pen_r=jnp.float32(_PEN_R))
     n = adroit.N_HAND_DOF
-    return Env(name="pen-v0", d_obs=61, d_action=n,
+    return Env(name="pen-v0", d_obs=2 * n + 21, d_action=n,
                action_lows=np.full(n, -1.0, np.float32),
                action_highs=np.full(n, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,
@@ -304,9 +308,16 @@ def make() -> Env:
                fused_rollout=_build_fused_rollout(model))
 
 
-from .randomize import register_names as _register_names  # noqa: E402
+from .randomize import (register_names as _register_names,  # noqa: E402
+                        register_param_paths as _register_param_paths)
 
 _register_names("pen-v0", adroit.hand_joint_names() + ["Object"],
                 # reference dyn-randomize names (dyn_randomize_configs/
                 # hand/pen-v0.yml): Object = the pen body, pen = its geom
                 extra={"pen": _PEN_BODY})
+# geom_friction/geom_size perturb the contact model's OWN leaves (the
+# reference perturbs mj geom_friction/geom_size rows,
+# gym_env_wrapper.py:392-400); the kernel bakes the defaults, so
+# planning against a perturbed pen takes fused=False (solvers/base.py).
+_register_param_paths("pen-v0", {"geom_friction": {"pen": "mu"},
+                                 "geom_size": {"pen": "pen_r"}})

@@ -32,13 +32,19 @@ import numpy as np
 from .base import Env
 from ..engine.chain import _JOINT_NV
 
-# MuJoCo-style field -> ChainModel attribute. geom_friction maps onto the
-# viscous joint damping of the named contact DOF — the engine's friction
-# analog (docs/PARITY.md: penalty contact, no LCP friction cone).
+# MuJoCo-style field -> ChainModel attribute (the reference's field set,
+# gym_env_wrapper.py:377-400: body_mass/body_inertia/dof_damping/
+# dof_frictionloss/geom_size/geom_friction/sensor_noise). Envs whose
+# contact model exposes its own friction/geometry leaves register
+# geom_friction -> mu and geom_size -> radius paths via
+# `register_param_paths` (checked FIRST in _resolve); this table is the
+# chain-level fallback, where geom_friction degrades to the viscous
+# damping of the named contact DOF (docs/PARITY.md: penalty contact).
 _CHAIN_FIELDS = {
     "body_mass": "mass",
     "body_inertia": "inertia",
     "dof_damping": "damping",
+    "dof_frictionloss": "frictionloss",
     "dof_armature": "armature",
     "actuator_gear": "gear",
     "geom_friction": "damping",
@@ -102,7 +108,7 @@ def _resolve(env: Env, field: str, name: str) -> Tuple[str, Optional[int]]:
                 f"no name table entry for {name!r} in env {env.name!r}")
         attr = _CHAIN_FIELDS[field]
         row = table[name]
-        if attr in ("damping", "armature", "gear"):
+        if attr in ("damping", "armature", "gear", "frictionloss"):
             # per-DOF arrays are [nv]; with quaternion joints a body row
             # spans a slice of velocity DOFs, not a single entry
             model = getattr(env.params, "model", None)

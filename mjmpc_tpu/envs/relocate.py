@@ -5,14 +5,14 @@ arm+hand picks a ball off a table and moves it to a sampled aerial
 target; success when the ball is within 0.10 m of the target
 (README.md:33-35, examples/configs/hand/relocate-v0.yml "Relocate object
 from one position to another with a 24-DOF Shadow Hand"). Here the arm
-is 3 translation DOF carrying the 20-DOF five-digit hand
-(`envs/adroit.py`) — 23 actuated DOF — and the ball is a genuine FREE
+is 3 translation DOF carrying the 24-DOF five-digit hand
+(`envs/adroit.py`) — 27 actuated DOF — and the ball is a genuine FREE
 body (quaternion state) manipulated only through frictional
 fingertip/table contact: grasping is contact physics, not the round-1
 proximity spring.
 
-One kinematic forest: 3 slides + 20 hinges + 1 free joint => nq = 30,
-nv = 29. Reward mirrors mj_envs relocate_v0.py: reach shaping, a lift
+One kinematic forest: 3 slides + 24 hinges + 1 free joint => nq = 34,
+nv = 33. Reward mirrors mj_envs relocate_v0.py: reach shaping, a lift
 bonus once the ball leaves the table, target shaping on both palm and
 ball, and staged bonuses inside 0.10 / 0.05 m.
 """
@@ -33,7 +33,7 @@ _DT = 0.002
 _FRAME_SKIP = 5
 _BALL_R = 0.035
 _N_ARM = 3
-_BALL_BODY = _N_ARM + adroit.N_DIGITS * adroit.BODIES_PER_DIGIT   # body index 23
+_BALL_BODY = _N_ARM + adroit.N_HAND_BODIES   # body index 27
 _BALL_Q = _N_ARM + adroit.N_HAND_DOF           # q/v offset 23
 _N_ACT = _N_ARM + adroit.N_HAND_DOF            # 23
 _N_TIPS = 2 * adroit.N_DIGITS
@@ -46,11 +46,13 @@ class RelocateParams(NamedTuple):
     kp: jax.Array
     kd: jax.Array
     mu: jax.Array
+    ball_r: jax.Array   # ball radius — the geom_size dyn-randomize leaf
+                        # (contact only; inertia is baked)
 
 
 class RelocateState(NamedTuple):
-    qpos: jax.Array     # [30] = 3 slides + 20 hinges + ball (pos3, quat4)
-    qvel: jax.Array     # [29]
+    qpos: jax.Array     # [34] = 3 slides + 24 hinges + ball (pos3, quat4)
+    qvel: jax.Array     # [33]
     target: jax.Array   # [3] carry goal
     timestep: jax.Array
 
@@ -91,12 +93,12 @@ def _ext_forces(params: RelocateParams):
         ball_p, ball_v = pos[_N_TIPS], vel[_N_TIPS]
         forces = []
         # ball on the table plane
-        f_ball = contact.sphere_plane_force(ball_p, ball_v, _BALL_R,
+        f_ball = contact.sphere_plane_force(ball_p, ball_v, params.ball_r,
                                             params.kp, params.kd, params.mu)
         for k in range(_N_TIPS):
             f_fb = contact.sphere_sphere_force(
-                pos[k], vel[k], _C_RADII[k], ball_p, ball_v, _BALL_R,
-                params.kp, params.kd, params.mu)
+                pos[k], vel[k], _C_RADII[k], ball_p, ball_v,
+                params.ball_r, params.kp, params.kd, params.mu)
             # ONLY the finger-ball force reacts onto the ball — the
             # table's push on a finger must never be dumped on the free
             # object (a fingertip touching the table half a meter away
@@ -108,7 +110,7 @@ def _ext_forces(params: RelocateParams):
         # palm pad vs ball (push/top support) and vs table
         f_palm = contact.sphere_sphere_force(
             pos[_N_TIPS + 1], vel[_N_TIPS + 1], _PALM_R, ball_p,
-            ball_v, _BALL_R, params.kp, params.kd, params.mu)
+            ball_v, params.ball_r, params.kp, params.kd, params.mu)
         f_ball = f_ball - f_palm
         f_palm = f_palm + contact.sphere_plane_force(
             pos[_N_TIPS + 1], vel[_N_TIPS + 1], _PALM_R, params.kp,
@@ -147,7 +149,7 @@ def _observe(params: RelocateParams, state: RelocateState) -> jax.Array:
         state.qpos[:_N_ACT], state.qvel[:_N_ACT],
         ball, state.qvel[_BALL_Q:_BALL_Q + 3],
         palm - ball, ball - state.target, palm - state.target])
-    # 61-dim: 23 qpos + 23 qvel + 15 object/target features
+    # 69-dim: 27 qpos + 27 qvel + 15 object/target features
 
 
 def _step(params: RelocateParams, state: RelocateState, action: jax.Array):
@@ -258,8 +260,9 @@ def _build_fused_rollout(model: rb.ChainModel):
 def make() -> Env:
     model = build_model()
     params = RelocateParams(model=model, kp=jnp.float32(800.0),
-                            kd=jnp.float32(2.0), mu=jnp.float32(1.2))
-    return Env(name="relocate-v0", d_obs=61, d_action=_N_ACT,
+                            kd=jnp.float32(2.0), mu=jnp.float32(1.2),
+                            ball_r=jnp.float32(_BALL_R))
+    return Env(name="relocate-v0", d_obs=2 * _N_ACT + 15, d_action=_N_ACT,
                action_lows=np.full(_N_ACT, -1.0, np.float32),
                action_highs=np.full(_N_ACT, 1.0, np.float32),
                params=params, init=_init, step=_step, observe=_observe,
@@ -267,9 +270,14 @@ def make() -> Env:
                fused_rollout=_build_fused_rollout(model))
 
 
-from .randomize import register_names as _register_names  # noqa: E402
+from .randomize import (register_names as _register_names,  # noqa: E402
+                        register_param_paths as _register_param_paths)
 
 _register_names(
     "relocate-v0",
     ["arm_x", "arm_y", "arm_z"] + adroit.hand_joint_names() + ["Object"],
     extra={"sphere": _BALL_BODY})
+# contact-model leaves for the geom fields (reference
+# gym_env_wrapper.py:392-400; 'sphere' is the mj_envs ball geom name)
+_register_param_paths("relocate-v0", {"geom_friction": {"sphere": "mu"},
+                                      "geom_size": {"sphere": "ball_r"}})

@@ -62,6 +62,23 @@ class SoftQMPC:
     sample_mode: str = "mean"
     action_lows: Optional[np.ndarray] = None
     action_highs: Optional[np.ndarray] = None
+    # Optional per-feature observation whitening applied before the
+    # quadratic features: z = [(obs - shift) / scale; a]. The raw
+    # sawyer-scale obs mixes O(1) radians with O(0.1) site deltas, so
+    # the un-whitened quartic loss surface is dominated by a few
+    # features (the round-3 plateau diagnosis — see harness/softq_diag).
+    # None = identity (the reference's behavior).
+    obs_shift: Optional[np.ndarray] = None
+    obs_scale: Optional[np.ndarray] = None
+
+    def _whiten(self, obs: jax.Array) -> jax.Array:
+        if self.obs_shift is None and self.obs_scale is None:
+            return obs
+        shift = 0.0 if self.obs_shift is None else jnp.asarray(
+            self.obs_shift, jnp.float32)
+        scale = 1.0 if self.obs_scale is None else jnp.asarray(
+            self.obs_scale, jnp.float32)
+        return (obs - shift) / scale
 
     @property
     def gamma_seq(self) -> np.ndarray:
@@ -80,7 +97,8 @@ class SoftQMPC:
     def _policy(self, params: QuadraticQParams):
         """(mean_fn(obs_batch) -> [B, dA], chol(Σ) [dA, dA], entropy)."""
         model = self.model
-        mu_single = lambda o: model.act_mean_sigma(params, o, self.lam)[0]
+        mu_single = lambda o: model.act_mean_sigma(
+            params, self._whiten(o), self.lam)[0]
         _, sigma = model.act_mean_sigma(
             params, jnp.zeros((self.d_obs,)), self.lam)
         chol = jnp.linalg.cholesky(
@@ -95,14 +113,16 @@ class SoftQMPC:
         params = state.q_params
 
         # Terminal cost <- Q(s_H, a_H) (softq_controller.py:224-229)
-        term_q = model(params, traj.observations[:, -1], traj.actions[:, -1])
+        term_q = model(params, self._whiten(traj.observations[:, -1]),
+                       traj.actions[:, -1])
         costs = traj.costs.at[:, -1].set(term_q)
 
         ent = jnp.full_like(costs, entropy)
         total = costs - self.lam * ent
         targets = ops.cost_to_go(total, self.gamma_seq) + self.lam * ent
 
-        obs_in = traj.observations[:, :-1].reshape(-1, self.d_obs)
+        obs_in = self._whiten(
+            traj.observations[:, :-1].reshape(-1, self.d_obs))
         act_in = traj.actions[:, :-1].reshape(-1, self.d_action)
         tgt_in = targets[:, :-1].reshape(-1)
 
@@ -125,7 +145,8 @@ class SoftQMPC:
     def act(self, state: SoftQState, obs: jax.Array,
             mode: Optional[str] = None) -> jax.Array:
         mode = mode or self.sample_mode
-        mu, sigma = self.model.act_mean_sigma(state.q_params, obs, self.lam)
+        mu, sigma = self.model.act_mean_sigma(state.q_params,
+                                              self._whiten(obs), self.lam)
         if mode == "mean":
             return mu
         if mode == "sample":

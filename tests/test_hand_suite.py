@@ -33,9 +33,9 @@ def relocate_env():
 
 from mjmpc_tpu.envs import adroit
 
-_PEN_Q = adroit.N_HAND_DOF          # 20
+_PEN_Q = adroit.N_HAND_DOF          # 24
 _NA = adroit.N_HAND_DOF             # pen action dim
-_NARM = 3 + adroit.N_HAND_DOF       # arm-hand action dim (23)
+_NARM = 3 + adroit.N_HAND_DOF       # arm-hand action dim (27)
 
 
 def _axis(st):
@@ -46,21 +46,22 @@ def _axis(st):
 def _curl_pattern(d0, d1, d2, d3):
     """Press the four corner fingers (digit order: (+x,+y), (-x,+y),
     (+x,-y), (-x,-y); the thumb, digit 4, stays passive): set all three
-    curl joints of each digit."""
+    curl joints of each digit (layout via adroit.digit_curl_indices —
+    the wrist pair and any metacarpal/opposition joints stay zero)."""
     a = jnp.zeros(_NA)
     for d, c in enumerate((d0, d1, d2, d3)):
-        for j in (1, 2, 3):
-            a = a.at[4 * d + j].set(c)
+        for j in adroit.digit_curl_indices(d):
+            a = a.at[j].set(c)
     return a
 
 
 def test_pen_obs_and_action_dims(pen_env):
-    assert pen_env.d_obs == 61       # 20 qpos + 20 qvel + 21 features
-    assert pen_env.d_action == 20    # hand joints only (5 digits x 4)
-    assert pen_env.params.model.nq == 27
-    assert pen_env.params.model.nv == 26
+    assert pen_env.d_obs == 69       # 24 qpos + 24 qvel + 21 features
+    assert pen_env.d_action == 24    # hand joints only (Adroit's 24 DOF)
+    assert pen_env.params.model.nq == 31
+    assert pen_env.params.model.nv == 30
     s = pen_env.init(pen_env.params, jax.random.PRNGKey(0))
-    assert pen_env.observe(pen_env.params, s).shape == (61,)
+    assert pen_env.observe(pen_env.params, s).shape == (69,)
 
 
 def test_pen_rest_is_stable(pen_env):
@@ -142,8 +143,8 @@ def test_pen_mppi_improves_alignment(pen_env):
 
 def test_relocate_dims_and_rest(relocate_env):
     env = relocate_env
-    assert env.d_action == _NARM     # 3 arm slides + 20 hand joints
-    assert env.params.model.nq == 30 and env.params.model.nv == 29
+    assert env.d_action == _NARM     # 3 arm slides + 24 hand joints
+    assert env.params.model.nq == 34 and env.params.model.nv == 33
     step = jax.jit(env.step)
     st = env.init(env.params, jax.random.PRNGKey(0))
     ball0 = np.asarray(st.qpos[_NARM:_NARM + 3])
@@ -218,14 +219,15 @@ def door_env():
 def test_hammer_dims_and_rest(hammer_env):
     env = hammer_env
     assert env.d_action == _NARM
-    assert env.params.model.nq == 31 and env.params.model.nv == 30
+    assert env.params.model.nq == 35 and env.params.model.nv == 34
     step = jax.jit(env.step)
     st = env.init(env.params, jax.random.PRNGKey(0))
     for _ in range(50):
         st, _, _, _ = step(env.params, st, jnp.zeros(_NARM))
     assert bool(jnp.all(jnp.isfinite(st.qpos)))
     # nail never moves without a strike; hammer rests on the table
-    assert abs(float(st.qpos[30])) < 1e-4
+    from mjmpc_tpu.envs.hammer import _NAIL_Q
+    assert abs(float(st.qpos[_NAIL_Q])) < 1e-4
     assert abs(float(st.qpos[_NARM + 2]) - 0.012) < 0.01
 
 
@@ -242,13 +244,14 @@ def test_hammer_strike_drives_nail(hammer_env):
                     qvel=s.qvel.at[hq + 2].set(-1.5))
     for _ in range(30):
         st, _, _, _ = step(env.params, st, jnp.zeros(_NARM))
-    depth1 = -float(st.qpos[30])
+    from mjmpc_tpu.envs.hammer import _NAIL_Q
+    depth1 = -float(st.qpos[_NAIL_Q])
     assert depth1 > 0.005, depth1
     for _ in range(3):
         st = st._replace(qvel=st.qvel.at[hq + 2].set(-1.5))
         for _ in range(15):
             st, _, _, _ = step(env.params, st, jnp.zeros(_NARM))
-    depth2 = -float(st.qpos[30])
+    depth2 = -float(st.qpos[_NAIL_Q])
     assert depth2 > depth1  # strikes accumulate, no spring-back
     assert bool(jnp.all(jnp.isfinite(st.qpos)))
 

@@ -216,3 +216,67 @@ def test_run_episodes_chunked_matches_fused():
     np.testing.assert_array_equal(
         np.asarray(chunked["final_solver_states"].step),
         np.asarray(fused["final_solver_states"].step))
+
+
+def test_dynamics_randomization_frictionloss():
+    """dof_frictionloss (reference gym_env_wrapper.py:386-388): perturbs
+    the ChainModel's Coulomb joint-friction leaf, and nonzero friction
+    actually brakes the joint."""
+    env = envs.make("reacher_7dof-v0")
+    # frictionloss defaults to 0, so the multiplicative perturbation law
+    # keeps it 0 — seed a nonzero default first (as a mj model would)
+    model = env.params.model
+    env = env.with_params(env.params._replace(
+        model=model._replace(frictionloss=jnp.full(model.nv, 0.5))))
+    spec = {"dof_frictionloss": {"r_elbow_flex_joint": [0.2, 1.0]}}
+    new_env, defaults, randomized = envs.randomize_dynamics(env, spec,
+                                                            base_seed=5)
+    f0 = float(defaults["dof_frictionloss"]["r_elbow_flex_joint"])
+    f1 = float(randomized["dof_frictionloss"]["r_elbow_flex_joint"])
+    assert f0 == pytest.approx(0.5)
+    assert 2.0 * f0 * 0.8 <= f1 <= 2.0 * f0 * 1.2 and f1 != f0
+    # Coulomb friction damps the coast-down: spin the elbow, step, and
+    # the frictional model must lose more joint speed
+    from mjmpc_tpu.engine import chain as rb
+    q0 = jnp.zeros(model.nq)
+    qd0 = jnp.full(model.nv, 0.5)   # small coast, away from the limits
+    zero_model = model._replace(frictionloss=jnp.zeros(model.nv))
+    _, qd_free = rb.step(zero_model, q0, qd0, jnp.zeros(model.nv), 1)
+    _, qd_fric = rb.step(new_env.params.model, q0, qd0,
+                         jnp.zeros(model.nv), 1)
+    assert float(jnp.sum(jnp.abs(qd_fric))) < float(jnp.sum(jnp.abs(qd_free)))
+
+
+def test_dynamics_randomization_geom_fields_pen():
+    """geom_friction -> the contact model's own mu leaf and
+    geom_size -> the pen radius leaf (reference
+    gym_env_wrapper.py:392-400 + dyn_randomize_configs/hand/pen-v0.yml's
+    geom_friction: pen row)."""
+    env = envs.make("pen-v0")
+    spec = {"geom_friction": {"pen": [0.2, 0.5]},
+            "geom_size": {"pen": [0.1, 0.0]}}
+    new_env, defaults, randomized = envs.randomize_dynamics(env, spec,
+                                                            base_seed=11)
+    mu0 = float(defaults["geom_friction"]["pen"])
+    mu1 = float(randomized["geom_friction"]["pen"])
+    assert mu0 == pytest.approx(1.2)
+    assert 1.5 * mu0 * 0.8 <= mu1 <= 1.5 * mu0 * 1.2 and mu1 != mu0
+    assert float(new_env.params.mu) == pytest.approx(mu1)
+    r0 = float(defaults["geom_size"]["pen"])
+    r1 = float(randomized["geom_size"]["pen"])
+    assert r0 == pytest.approx(0.012)
+    assert r0 * 0.9 <= r1 <= r0 * 1.1 and r1 != r0
+    assert float(new_env.params.pen_r) == pytest.approx(r1)
+    # joint damping (the old geom_friction fallback target) is untouched
+    np.testing.assert_allclose(np.asarray(new_env.params.model.damping),
+                               np.asarray(env.params.model.damping))
+
+
+def test_dynamics_randomization_geom_friction_cheetah():
+    env = envs.make("HalfCheetah-v0")
+    spec = {"geom_friction": {"floor": [0.3, 0.0]}}
+    new_env, defaults, randomized = envs.randomize_dynamics(env, spec,
+                                                            base_seed=2)
+    mu1 = float(randomized["geom_friction"]["floor"])
+    assert 0.4 * 0.7 <= mu1 <= 0.4 * 1.3 and mu1 != 0.4
+    assert float(new_env.params.mu) == pytest.approx(mu1)

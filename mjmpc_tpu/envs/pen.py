@@ -216,10 +216,11 @@ def _build_fused_rollout(model: rb.ChainModel):
     the pen cost — in ONE kernel. The XLA path materializes every
     per-particle FK/contact intermediate in HBM (and at 21 bodies the
     episode-scale program overwhelms the remote TPU worker); the kernel
-    keeps all of it in registers/VMEM. kp/kd/mu ride the extras vector,
-    so contact-gain sweeps don't invalidate the kernel; model constants
-    are baked (dyn-randomized planning takes the general path —
-    solvers/base.py build_solve_fn)."""
+    keeps all of it in registers/VMEM. kp/kd/mu AND the pen radius ride
+    the extras vector, so contact-gain sweeps and the reference's
+    geom_friction/geom_size dynamics randomization
+    (gym_env_wrapper.py:392-400) keep the fast path; only rigid-body
+    model constants (masses, inertias, link geometry) are baked."""
     from ..ops import pallas_forest as pf
 
     n_tips = 2 * adroit.N_DIGITS
@@ -234,12 +235,12 @@ def _build_fused_rollout(model: rb.ChainModel):
     ridge_b = [np.float32(v) for v in _RIDGE_B]
 
     def force_fn(states, extras, rots, poss):
-        kp, kd, mu = extras[3], extras[4], extras[5]
+        kp, kd, mu, pen_r = extras[3], extras[4], extras[5], extras[6]
         (cap_a, vcap_a), (cap_b, vcap_b) = states[n_tips], states[n_tips + 1]
-        f_cap_a = pf.sphere_plane_force(cap_a, vcap_a, _PEN_R, kp, kd, mu)
-        f_cap_b = pf.sphere_plane_force(cap_b, vcap_b, _PEN_R, kp, kd, mu)
+        f_cap_a = pf.sphere_plane_force(cap_a, vcap_a, pen_r, kp, kd, mu)
+        f_cap_b = pf.sphere_plane_force(cap_b, vcap_b, pen_r, kp, kd, mu)
         f_ridge, sr = pf.capsule_capsule_force(
-            cap_a, cap_b, vcap_a, vcap_b, _PEN_R,
+            cap_a, cap_b, vcap_a, vcap_b, pen_r,
             ridge_a, ridge_b, _RIDGE_R, kp, kd, mu)
         f_cap_a = pf._vadd(f_cap_a, pf._vscale(1.0 - sr, f_ridge))
         f_cap_b = pf._vadd(f_cap_b, pf._vscale(sr, f_ridge))
@@ -248,7 +249,7 @@ def _build_fused_rollout(model: rb.ChainModel):
             p, v = states[k]
             f_pen, t = pf.sphere_segment_force(
                 p, v, float(_C_RADII[k]), cap_a, cap_b, vcap_a, vcap_b,
-                _PEN_R, kp, kd, mu)
+                pen_r, kp, kd, mu)
             f_cap_a = pf._vsub(f_cap_a, pf._vscale(1.0 - t, f_pen))
             f_cap_b = pf._vsub(f_cap_b, pf._vscale(t, f_pen))
             forces.append(pf._vadd(f_pen, pf.sphere_plane_force(
@@ -278,16 +279,21 @@ def _build_fused_rollout(model: rb.ChainModel):
     roll = pf.build_forest_rollout(
         model, n_substeps=_FRAME_SKIP,
         act_bodies=list(range(adroit.N_HAND_DOF)),
-        force_fn=force_fn, cost_fn=cost_fn, n_extras=6)
+        force_fn=force_fn, cost_fn=cost_fn, n_extras=7)
 
     def fused(params: PenParams, state: PenState, mean, noise):
         extras = jnp.concatenate([
             state.desired,
-            jnp.stack([params.kp, params.kd, params.mu])])
+            jnp.stack([params.kp, params.kd, params.mu, params.pen_r])])
         return roll(state.qpos, state.qvel, extras, mean, noise)
 
+    fused.substep_parts = roll.substep_parts   # FLOP accounting
+    # (harness.forest_perf traces the substep outside pallas)
     fused.cpu_auto = False   # XLA-CPU codegen of this kernel
     # takes >10 min (see solvers/base.py auto gate); TPU/Mosaic is fine
+    fused.dynamic_fields = ("kp", "kd", "mu", "pen_r")   # param leaves the
+    # kernel reads at CALL time (via extras) — dyn-randomizing only these
+    # keeps the fused fast path (harness/episode.py:_fused_mode)
     return fused
 
 
@@ -317,7 +323,7 @@ _register_names("pen-v0", adroit.hand_joint_names() + ["Object"],
                 extra={"pen": _PEN_BODY})
 # geom_friction/geom_size perturb the contact model's OWN leaves (the
 # reference perturbs mj geom_friction/geom_size rows,
-# gym_env_wrapper.py:392-400); the kernel bakes the defaults, so
-# planning against a perturbed pen takes fused=False (solvers/base.py).
+# gym_env_wrapper.py:392-400); both ride the fused kernel's extras
+# vector, so randomized planning stays on the fast path.
 _register_param_paths("pen-v0", {"geom_friction": {"pen": "mu"},
                                  "geom_size": {"pen": "pen_r"}})

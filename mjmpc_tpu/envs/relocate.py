@@ -184,9 +184,10 @@ def _build_fused_rollout(model: rb.ChainModel):
     N-particle H-step contact rollout — arm slides + five digit trees,
     the free ball, the finger/palm/table contact assembly of
     `_ext_forces` (incl. the arm gravity compensation via
-    joint_torque_fn), and the relocate cost — in ONE kernel. kp/kd/mu
-    and the carry target ride the extras vector; model constants are
-    baked (dynamics randomization takes the general path)."""
+    joint_torque_fn), and the relocate cost — in ONE kernel. kp/kd/mu,
+    the ball radius, and the carry target ride the extras vector, so
+    geom_friction/geom_size dynamics randomization keeps the fast path;
+    only rigid-body model constants are baked."""
     from ..ops import pallas_forest as pf
 
     points = [(int(b), np.asarray(p, np.float32))
@@ -198,21 +199,21 @@ def _build_fused_rollout(model: rb.ChainModel):
     hand_weight = float(9.81 * np.sum(np.asarray(model.mass)[:_BALL_BODY]))
 
     def force_fn(states, extras, rots, poss):
-        kp, kd, mu = extras[3], extras[4], extras[5]
+        kp, kd, mu, ball_r = extras[3], extras[4], extras[5], extras[6]
         (ball_p, ball_v) = states[_N_TIPS]
         (palm_p, palm_v) = states[_N_TIPS + 1]
-        f_ball = pf.sphere_plane_force(ball_p, ball_v, _BALL_R, kp, kd, mu)
+        f_ball = pf.sphere_plane_force(ball_p, ball_v, ball_r, kp, kd, mu)
         forces = []
         for k in range(_N_TIPS):
             p, v = states[k]
             f_fb = pf.sphere_sphere_force(p, v, float(_C_RADII[k]),
-                                          ball_p, ball_v, _BALL_R,
+                                          ball_p, ball_v, ball_r,
                                           kp, kd, mu)
             f_ball = pf._vsub(f_ball, f_fb)
             forces.append(pf._vadd(f_fb, pf.sphere_plane_force(
                 p, v, float(_C_RADII[k]), kp, kd, mu)))
         f_palm = pf.sphere_sphere_force(palm_p, palm_v, _PALM_R,
-                                        ball_p, ball_v, _BALL_R,
+                                        ball_p, ball_v, ball_r,
                                         kp, kd, mu)
         f_ball = pf._vsub(f_ball, f_palm)
         f_palm = pf._vadd(f_palm, pf.sphere_plane_force(
@@ -244,16 +245,21 @@ def _build_fused_rollout(model: rb.ChainModel):
 
     roll = pf.build_forest_rollout(
         model, n_substeps=_FRAME_SKIP, act_bodies=list(range(_N_ACT)),
-        force_fn=force_fn, cost_fn=cost_fn, n_extras=6,
+        force_fn=force_fn, cost_fn=cost_fn, n_extras=7,
         joint_torque_fn=torque_fn)
 
     def fused(params: RelocateParams, state: RelocateState, mean, noise):
         extras = jnp.concatenate([
-            state.target, jnp.stack([params.kp, params.kd, params.mu])])
+            state.target,
+            jnp.stack([params.kp, params.kd, params.mu, params.ball_r])])
         return roll(state.qpos, state.qvel, extras, mean, noise)
 
+    fused.substep_parts = roll.substep_parts   # FLOP accounting
+    # (harness.forest_perf traces the substep outside pallas)
     fused.cpu_auto = False   # XLA-CPU codegen of this kernel
     # takes >10 min (see solvers/base.py auto gate); TPU/Mosaic is fine
+    fused.dynamic_fields = ("kp", "kd", "mu", "ball_r")   # read at call
+    # time via extras — dyn-randomizing only these keeps the fast path
     return fused
 
 

@@ -78,6 +78,33 @@ def build_episode_fn(solver, env: Env, episode_length: int,
     return episode
 
 
+def _fused_mode(plan_env: Env, sim_params):
+    """Whether the fused Pallas rollout may plan against `sim_params`.
+
+    The kernel bakes the env's build-time MODEL constants, but leaves it
+    declares in `fused_rollout.dynamic_fields` are read at call time
+    (they ride the kernel's extras vector). So planning against a params
+    pytree that differs ONLY in dynamic fields — the reference's
+    geom_friction/geom_size dynamics randomization
+    (gym_env_wrapper.py:392-400) on the hand suite — keeps the fast
+    path; any other difference (perturbed masses, damping, a biased sim
+    model) takes the general path.
+    """
+    base = plan_env.params
+    if sim_params is base:
+        return "auto"
+    kernel = plan_env.fused_rollout
+    dynamic = getattr(kernel, "dynamic_fields", ()) if kernel else ()
+    if (not dynamic or type(sim_params) is not type(base)
+            or not hasattr(base, "_fields")):
+        return False
+    for f in base._fields:
+        if getattr(sim_params, f) is getattr(base, f) or f in dynamic:
+            continue
+        return False
+    return "auto"
+
+
 def run_episodes(solver, env: Env, n_episodes: int, episode_length: int,
                  base_seed: int = 123, sim_params=None,
                  sim_env: Env = None,
@@ -99,11 +126,8 @@ def run_episodes(solver, env: Env, n_episodes: int, episode_length: int,
     keys = jnp.stack([jax.random.PRNGKey(base_seed + i * 12345)
                       for i in range(n_episodes)])
 
-    # The fused Pallas rollout bakes the env's build-time model
-    # constants; planning against ANY other params object (dynamics
-    # randomization, biased sim models) must take the general path.
     plan_env = sim_env if sim_env is not None else env
-    fused = "auto" if sim_params is plan_env.params else False
+    fused = _fused_mode(plan_env, sim_params)
 
     if chunk_size is None or chunk_size >= episode_length:
         episode = build_episode_fn(solver, env, episode_length,

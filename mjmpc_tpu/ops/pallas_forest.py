@@ -108,6 +108,14 @@ def _vnorm(v, eps=0.0):
     return jnp.sqrt(_vdot(v, v) + np.float32(eps))
 
 
+def _sf(x):
+    """Scalar that is either a baked python float or a traced lane value
+    (dyn-randomized geom radii ride the extras vector — the reference
+    perturbs mj geom_size rows, gym_env_wrapper.py:392-400, and the
+    kernel must keep its fast path under that perturbation)."""
+    return np.float32(x) if isinstance(x, (int, float, np.floating)) else x
+
+
 def force_along(n, overlap, rel_vel, kp, kd, mu, v_slip=0.02):
     """Lane-dialect twin of envs/contact.py:force_along (spring-damper
     normal + saturated Coulomb friction, branch-free)."""
@@ -127,7 +135,7 @@ def penalty_force(sep, rel_vel, overlap, kp, kd, mu, v_slip=0.02):
 
 def sphere_plane_force(p, v, r_sphere, kp, kd, mu, z_plane=0.0):
     """envs/contact.py:69-78: fixed +z normal."""
-    overlap = np.float32(r_sphere) - (p[2] - np.float32(z_plane))
+    overlap = _sf(r_sphere) - (p[2] - np.float32(z_plane))
     zero = jnp.zeros_like(p[0])
     one = jnp.ones_like(p[0])
     return force_along([zero, zero, one], overlap, v, kp, kd, mu)
@@ -146,7 +154,7 @@ def sphere_segment_force(p, v, r_sphere, seg_a, seg_b, v_a, v_b, r_seg,
     c, t = closest_on_segment(p, seg_a, seg_b)
     v_c = _vadd(_vscale(1.0 - t, v_a), _vscale(t, v_b))
     sep = _vsub(p, c)
-    overlap = np.float32(r_sphere + r_seg) - _vnorm(sep)
+    overlap = _sf(r_sphere) + _sf(r_seg) - _vnorm(sep)
     return penalty_force(sep, _vsub(v, v_c), overlap, kp, kd, mu), t
 
 
@@ -171,13 +179,13 @@ def capsule_capsule_force(a0, a1, v_a0, v_a1, r_a, b0, b1, r_b,
     p_a, p_b, s, _ = segment_segment_closest(a0, a1, b0, b1)
     v = _vadd(_vscale(1.0 - s, v_a0), _vscale(s, v_a1))
     sep = _vsub(p_a, p_b)
-    overlap = np.float32(r_a + r_b) - _vnorm(sep)
+    overlap = _sf(r_a) + _sf(r_b) - _vnorm(sep)
     return penalty_force(sep, v, overlap, kp, kd, mu), s
 
 
 def sphere_sphere_force(p_a, v_a, r_a, p_b, v_b, r_b, kp, kd, mu):
     sep = _vsub(p_a, p_b)
-    overlap = np.float32(r_a + r_b) - _vnorm(sep)
+    overlap = _sf(r_a) + _sf(r_b) - _vnorm(sep)
     return penalty_force(sep, _vsub(v_a, v_b), overlap, kp, kd, mu)
 
 
@@ -748,7 +756,7 @@ def build_forest_rollout(model, n_substeps: int, act_bodies: Sequence[int],
                 jnp.asarray(extras, jnp.float32))
         costs = pl.pallas_call(
             kernel,
-            grid=(n_pad // eff,),
+            grid=(n_pad // eff,),   # single grid step (see pallas_chain)
             in_specs=[
                 pl.BlockSpec((3, width), lambda j: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -767,4 +775,11 @@ def build_forest_rollout(model, n_substeps: int, act_bodies: Sequence[int],
         )(state, jnp.asarray(mean, jnp.float32), noise_t)
         return _unpack_panel(costs, num_p)
 
+    # FLOP-accounting hook (harness.forest_perf): the kernel's per-substep
+    # lane function and its callbacks, traceable OUTSIDE pallas via
+    # jax.make_jaxpr for an exact primitive-level op count.
+    rollout.substep_parts = dict(mc=mc, force_fn=force_fn, cost_fn=cost_fn,
+                                 joint_torque_fn=joint_torque_fn,
+                                 n_substeps=n_substeps,
+                                 act_bodies=tuple(act_bodies))
     return rollout

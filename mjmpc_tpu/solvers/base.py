@@ -186,8 +186,11 @@ def build_solve_fn(solver: GaussianMPC, env: Env, calc_val: bool = False,
     `fused_rollout` for solvers that never read observations;
     `fused_obs_rollout` for observation-consuming ones like MPPIQ with
     a plugged Q) and the solve is unsharded. Pass False when planning
-    against params that differ from the env's build-time params
-    (dynamics randomization — the kernel bakes model constants).
+    against params that differ from the env's build-time params in
+    leaves OUTSIDE the kernel's `dynamic_fields` (the kernel bakes model
+    constants; contact gains/radii listed in `fused_rollout
+    .dynamic_fields` ride its extras vector and stay live —
+    harness/episode.py:_fused_mode applies this rule automatically).
     """
     shard = shard_particles or (lambda x: x)
     if fused == "auto":

@@ -43,10 +43,11 @@ def make_solver(name: str, **params):
 
 def make_solve_fn(solver, env, **kwargs):
     """Dispatch to the right solve builder for the solver family."""
-    if not isinstance(solver, (GaussianMPC, Reinforce)):
-        # fused fast paths: GaussianMPC's costs-only open-loop kernel,
-        # Reinforce's closed-loop-linear kernel; other families must not
-        # swallow an explicit fused=False (dyn-randomized planning)
+    if not isinstance(solver, (GaussianMPC, Reinforce, PFMPC)):
+        # fused fast paths: GaussianMPC's + PFMPC's costs-only open-loop
+        # kernel, Reinforce's closed-loop-linear kernel; other families
+        # must not swallow an explicit fused=False (dyn-randomized
+        # planning)
         kwargs.pop("fused", None)
     if isinstance(solver, PFMPC):
         kwargs.pop("calc_val", None)

@@ -128,15 +128,39 @@ class PFMPC:
 
 
 def build_solve_fn(solver: PFMPC, env: Env, hotstart: bool = True,
-                   shard_particles=None):
-    """One PFMPC solve (optimize + act + shift), jit-compatible."""
+                   shard_particles=None, fused="auto"):
+    """One PFMPC solve (optimize + act + shift), jit-compatible.
+
+    fused: PFMPC's update consumes only trajectory COSTS, so the env's
+    costs-only fused Pallas rollout applies exactly as in
+    base.build_solve_fn ("auto" = yes when available, unsharded, and
+    not a cpu_auto=False kernel off-TPU). Without it, a hand-env PFMPC
+    episode compiles the general XLA contact rollout at episode scale —
+    the program the pen docstring warns crashes the remote TPU worker
+    (observed: every pfmpc hand cell of the r05 sweep died with
+    'TPU worker process crashed' while fused mppi/mppiq/cem cells ran).
+    """
     shard = shard_particles or (lambda x: x)
+    if fused == "auto":
+        kernel = env.fused_rollout
+        fused = (kernel is not None and shard_particles is None
+                 and (getattr(kernel, "cpu_auto", True)
+                      or jax.default_backend() == "tpu"))
+
+    def do_rollout(env_params, env_state, mean, delta):
+        if fused:
+            costs = env.fused_rollout(env_params, env_state, mean, delta)
+            return Trajectories(
+                observations=None, actions=mean[None] + delta,
+                costs=costs, dones=None, next_observations=None,
+                successes=None)
+        return rollout_open_loop(env, env_params, env_state, mean, delta)
 
     def solve(env_params, env_state, state: PFState):
         s = state._replace(action_samples=shard(state.action_samples))
         for _ in range(solver.n_iters):
             delta = shard(s.action_samples - s.mean[None, :, :])
-            traj = rollout_open_loop(env, env_params, env_state, s.mean, delta)
+            traj = do_rollout(env_params, env_state, s.mean, delta)
             s = solver.update(s, traj)
         action = solver.act(s)
         s = s._replace(step=s.step + 1)

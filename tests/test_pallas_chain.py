@@ -94,3 +94,25 @@ def test_fused_auto_gating():
 
     pend = envs.make("SimplePendulum-v0")
     assert pend.fused_rollout is None
+
+
+def test_pfmpc_fused_solve_matches_general_solve():
+    """PFMPC's solve also rides the costs-only fused kernel (its update
+    consumes only trajectory costs); fused and general paths must agree
+    on the action and the resampled particle set."""
+    env = envs.make("reacher_7dof-v0")
+    solver = solvers.PFMPC(d_action=7, horizon=8, num_particles=32,
+                           lam=0.1, cov_shift=0.05, cov_resample=0.5,
+                           filter_coeffs=(0.25, 0.8, 0.0))
+    s0 = solver.init_state(jax.random.PRNGKey(0))
+    es = env.init(env.params, jax.random.PRNGKey(1))
+    from mjmpc_tpu.solvers.pfmpc import build_solve_fn as pf_build
+    a_f, _, sf = jax.jit(pf_build(solver, env, fused=True))(
+        env.params, es, s0)
+    a_g, _, sg = jax.jit(pf_build(solver, env, fused=False))(
+        env.params, es, s0)
+    np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_g),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sf.action_samples),
+                               np.asarray(sg.action_samples),
+                               rtol=0, atol=2e-5)

@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import sys
 import threading
 import time
 
@@ -140,6 +141,84 @@ def main():
     }))
 
 
+# --- perf-regression gate (VERDICT r4 weak #3) ----------------------------
+# Toolchain drift silently cost 30x in round 4 (the r3 chain kernel
+# regressed 1.50 ms -> 45.8 ms and all four forest kernels stopped
+# compiling) and only a manual re-run caught it. `bench.py --smoke` runs
+# the chain kernel + one forest kernel at small N on chip and FAILS
+# (exit 1) if solves/s drops >30% below the recorded floor in
+# bench_floors.json (refresh floors with `bench.py --record-floors`).
+_FLOORS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_floors.json")
+_SMOKE_DROP_PCT = 30.0
+_SMOKE_CASES = [
+    # (key, env, horizon, num_particles) — chain + forest kernel families
+    ("chain_smoke", "reacher_7dof-v0", 32, 1024),
+    ("forest_smoke", "pen-v0", 32, 1024),
+]
+
+
+def _smoke_rate(env_name: str, horizon: int, n: int) -> float:
+    """Read-verified solves/s over a short donated chain."""
+    env = envs.make(env_name)
+    solver = solvers.MPPI(
+        d_action=env.d_action, horizon=horizon, num_particles=n,
+        lam=0.05, init_cov=0.5, step_size=0.7, gamma=1.0,
+        filter_coeffs=(0.25, 0.8, 0.0), base_action="repeat")
+    solve = jax.jit(solvers.make_solve_fn(solver, env), donate_argnums=(2,))
+    s = solver.init_state(jax.random.PRNGKey(0))
+    env_state = env.init(env.params, jax.random.PRNGKey(1))
+    for _ in range(3):   # compile + warm
+        action, _, s = solve(env.params, env_state, s)
+    float(action[0])
+    k = 40
+    start = time.perf_counter()
+    for _ in range(k):
+        action, _, s = solve(env.params, env_state, s)
+    value = float(action[0])
+    elapsed = time.perf_counter() - start
+    if value != value:
+        raise RuntimeError(f"{env_name} smoke chain produced NaN action")
+    return k / elapsed
+
+
+def smoke(record: bool = False) -> int:
+    floors = {}
+    if os.path.exists(_FLOORS_PATH):
+        with open(_FLOORS_PATH) as f:
+            floors = json.load(f)
+    measured, failed = {}, []
+    for key, env_name, horizon, n in _SMOKE_CASES:
+        rate = _smoke_rate(env_name, horizon, n)
+        floor = floors.get(key, {}).get("floor_solves_per_s")
+        ok = floor is None or rate >= floor * (1.0 - _SMOKE_DROP_PCT / 100)
+        measured[key] = dict(env=env_name, horizon=horizon, n=n,
+                             floor_solves_per_s=round(rate, 2))
+        print(json.dumps({
+            "metric": f"smoke[{key},{env_name},H={horizon},N={n}]",
+            "value": round(rate, 2), "unit": "solves/s",
+            "floor": floor, "ok": bool(ok), "read_verified": True,
+        }), flush=True)
+        if not ok:
+            failed.append(key)
+    if record:
+        with open(_FLOORS_PATH, "w") as f:
+            json.dump(measured, f, indent=2)
+        print(json.dumps({"metric": "smoke_floors_recorded",
+                          "value": _FLOORS_PATH, "unit": "path"}))
+        return 0
+    if failed:
+        print(json.dumps({
+            "metric": "smoke_gate", "value": 0, "unit": "FAIL",
+            "failed": failed,
+            "hint": "kernel perf regressed >30% below bench_floors.json — "
+                    "suspect toolchain drift (see RESULTS.md regression "
+                    "history); re-run, then bisect kernel lowering",
+        }), flush=True)
+        return 1
+    return 0
+
+
 def _main_with_watchdog():
     """Run main() under a stall deadline. A hung remote-TPU tunnel blocks
     inside uninterruptible C++ (device init / remote compile), so the
@@ -176,4 +255,6 @@ def _main_with_watchdog():
 
 
 if __name__ == "__main__":
+    if "--smoke" in sys.argv or "--record-floors" in sys.argv:
+        sys.exit(smoke(record="--record-floors" in sys.argv))
     _main_with_watchdog()

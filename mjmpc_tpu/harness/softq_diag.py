@@ -36,7 +36,6 @@ import numpy as np
 
 from .. import envs, ops, solvers
 from ..rollout.engine import _scan_rollout
-from .episode import run_episode
 
 
 def obs_stats_from_random(env, n_steps: int = 200, seed: int = 0):

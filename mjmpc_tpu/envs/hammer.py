@@ -4,14 +4,14 @@ The reference's hammer-v0 is the mj_envs Adroit task — the hand grabs a
 hammer from the table and hammers a nail into a board; success when the
 nail is driven nearly flush (README.md:33-35,
 examples/configs/hand/hammer-v0.yml "Hammering a nail with a 24-DOF
-Shadow Hand"). Here the 3-slide arm + 20-DOF five-digit hand
+Shadow Hand"). Here the 3-slide arm + 24-DOF five-digit hand
 (`envs/adroit.py`, as in relocate-v0) manipulates a FREE hammer body
 (quaternion state, weighted head) purely through frictional contact, and
 the nail is a 1-DOF slide with heavy damping plus a dry-friction
 resistance — it only advances under real impact/press force from the
 hammer head, never from the reward.
 
-nq = 3 + 20 + 7 + 1 = 31, nv = 30. Reward mirrors mj_envs hammer_v0.py:
+nq = 3 + 24 + 7 + 1 = 35, nv = 34. Reward mirrors mj_envs hammer_v0.py:
 palm-to-hammer reach shaping, hammer-head-to-nail shaping, staged
 bonuses at half / full drive depth; success = nail driven > 95% of its
 travel.
@@ -32,12 +32,12 @@ from .base import Env
 _DT = 0.002
 _FRAME_SKIP = 5
 _N_ARM = 3
-_HAMMER_BODY = _N_ARM + adroit.N_HAND_BODIES   # body index 27
-_NAIL_BODY = _HAMMER_BODY + 1                  # 24
-_HAMMER_Q = _N_ARM + adroit.N_HAND_DOF         # qpos 23..29, qvel 23..28
-_NAIL_Q = _HAMMER_Q + 7                        # qpos 30 (last)
-_NAIL_V = _HAMMER_Q + 6                        # qvel 29
-_N_ACT = _N_ARM + adroit.N_HAND_DOF            # 23
+_HAMMER_BODY = _N_ARM + adroit.N_HAND_BODIES  # body index 27
+_NAIL_BODY = _HAMMER_BODY + 1                  # 28
+_HAMMER_Q = _N_ARM + adroit.N_HAND_DOF         # qpos 27..33, qvel 27..32
+_NAIL_Q = _HAMMER_Q + 7                        # qpos 34 (last)
+_NAIL_V = _HAMMER_Q + 6                        # qvel 33
+_N_ACT = _N_ARM + adroit.N_HAND_DOF            # 27
 _N_TIPS = 2 * adroit.N_DIGITS
 
 _HANDLE_R = 0.011
@@ -62,8 +62,8 @@ class HammerParams(NamedTuple):
 
 
 class HammerState(NamedTuple):
-    qpos: jax.Array     # [31]
-    qvel: jax.Array     # [30]
+    qpos: jax.Array     # [35] = 3 slides + 24 hinges + hammer (7) + nail
+    qvel: jax.Array     # [34]
     timestep: jax.Array
 
 

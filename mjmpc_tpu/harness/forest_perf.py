@@ -116,28 +116,31 @@ def substep_flops(env) -> dict:
                 n_substeps=parts["n_substeps"])
 
 
-def time_rollout(env, n: int, horizon: int, iters: int = 30) -> float:
-    """Read-verified seconds per fused rollout call."""
+def time_rollout(env, n: int, horizon: int, iters: int = 20,
+                 windows: int = 3) -> float:
+    """Read-verified seconds per fused rollout call — MIN over several
+    windows (the remote runtime's first window after a shape change has
+    been observed 10x slow: executor warmup, not kernel time)."""
     rng = np.random.default_rng(0)
     d = env.d_action
     mean = jnp.asarray(rng.normal(size=(horizon, d)) * 0.1, jnp.float32)
     noise = jnp.asarray(rng.normal(size=(n, horizon, d)) * 0.2, jnp.float32)
     state = env.init(env.params, jax.random.PRNGKey(0))
     roll = jax.jit(env.fused_rollout)
-    out = roll(env.params, state, mean, noise)
-    val = float(jnp.sum(out))
-    if not np.isfinite(val):
-        raise RuntimeError(f"{env.name}: non-finite rollout costs")
-    acc = None
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = roll(env.params, state, mean, noise)
-        acc = out if acc is None else acc + out
-    val = float(jnp.sum(acc))   # data-depends on every call
-    dt = (time.perf_counter() - start) / iters
-    if not np.isfinite(val):
-        raise RuntimeError(f"{env.name}: non-finite rollout costs")
-    return dt
+    best = None
+    for w in range(windows + 1):   # window 0 is the warmup, discarded
+        acc = None
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = roll(env.params, state, mean, noise)
+            acc = out if acc is None else acc + out
+        val = float(jnp.sum(acc))   # data-depends on every call
+        dt = (time.perf_counter() - start) / iters
+        if not np.isfinite(val):
+            raise RuntimeError(f"{env.name}: non-finite rollout costs")
+        if w > 0:
+            best = dt if best is None else min(best, dt)
+    return best
 
 
 _DEFAULT_ENVS = ("pen-v0", "relocate-v0", "hammer-v0", "door-v0")

@@ -705,7 +705,17 @@ def build_chain_cl_rollout(model, n_substeps: int, ulow: float = -1.0,
 
     def rollout(q0, qd0, extras_in, weights, noise):
         num_p, horizon = noise.shape[0], noise.shape[1]
-        eff, sub, n_pad = _panel(num_p, tile_n)
+        # Unlike the costs-only kernels, the CL kernel's VMEM blocks
+        # carry full (obs, actions) records: per sublane row that is
+        # horizon*(n + d_obs + n + 1)*128 f32, and Mosaic DOUBLE-BUFFERS
+        # every block across grid steps. One grid step at N=16384
+        # allocates >16 MB of scoped VMEM and the remote compiler
+        # rejects it, so cap the panel so 2x the block set fits in
+        # ~14 MB and take the per-grid-step dispatch penalty only when
+        # N forces it.
+        per_sublane = horizon * (2 * n + d_obs + 1) * _LANES * 4
+        max_sub = max(8, (7 * 1024 * 1024 // per_sublane) // 8 * 8)
+        eff, sub, n_pad = _panel(num_p, min(tile_n, max_sub * _LANES))
         noise_t = _pack_lanes(noise, n_pad)
         state = jnp.stack([jnp.asarray(q0, jnp.float32),
                            jnp.asarray(qd0, jnp.float32)])      # [2, nv]
